@@ -1,0 +1,160 @@
+"""Qwen3-style decoder blocks, layer-stacked for ``lax.scan``.
+
+One block = RMSNorm -> GQA attention with per-head q/k RMSNorm and NEOX RoPE
+-> residual -> RMSNorm -> SwiGLU MLP -> residual. This mirrors the reference
+graph builders (src/tts_transformer.cpp:1124-1266 prefill,
+:1268-1411 single step) but is built once per shape bucket and scanned over a
+stacked parameter pytree instead of being re-built per frame — the reference's
+per-step graph rebuild/alloc is the #1 cost its own timing tables expose
+(README.md:276-295), and it simply does not exist under jit.
+
+Parameter layout convention: every linear weight is stored **[in, out]** so the
+forward pass is ``x @ W`` (HF checkpoints store [out, in]; the loader
+transposes once at load time). Stacked block params carry a leading layer axis.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops import attention as attn_ops
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope, rope_for_positions
+
+
+class BlockParams(NamedTuple):
+    """Stacked decoder-block parameters; every leaf has leading axis L."""
+
+    attn_norm: jnp.ndarray   # [L, H]
+    wq: jnp.ndarray          # [L, H, Hq*D]
+    wk: jnp.ndarray          # [L, H, Hkv*D]
+    wv: jnp.ndarray          # [L, H, Hkv*D]
+    wo: jnp.ndarray          # [L, Hq*D, H]
+    q_norm: jnp.ndarray      # [L, D]
+    k_norm: jnp.ndarray      # [L, D]
+    ffn_norm: jnp.ndarray    # [L, H]
+    w_gate: jnp.ndarray      # [L, H, F]
+    w_up: jnp.ndarray        # [L, H, F]
+    w_down: jnp.ndarray      # [L, F, H]
+
+
+class CoreConfig(NamedTuple):
+    n_layers: int
+    n_heads: int
+    n_kv_heads: int
+    head_dim: int
+    rms_norm_eps: float
+    rope_theta: float
+
+
+def init_block_params(key: jax.Array, cfg: CoreConfig, hidden: int, ffn: int, dtype) -> BlockParams:
+    """Deterministic synthetic init (scaled normal) at the configured shapes."""
+    L, Hq, Hkv, D = cfg.n_layers, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    ks = jax.random.split(key, 7)
+
+    def w(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32) / jnp.sqrt(fan_in)).astype(dtype)
+
+    return BlockParams(
+        attn_norm=jnp.ones((L, hidden), dtype),
+        wq=w(ks[0], (L, hidden, Hq * D), hidden),
+        wk=w(ks[1], (L, hidden, Hkv * D), hidden),
+        wv=w(ks[2], (L, hidden, Hkv * D), hidden),
+        wo=w(ks[3], (L, Hq * D, hidden), Hq * D),
+        q_norm=jnp.ones((L, D), dtype),
+        k_norm=jnp.ones((L, D), dtype),
+        ffn_norm=jnp.ones((L, hidden), dtype),
+        w_gate=w(ks[4], (L, hidden, ffn), hidden),
+        w_up=w(ks[5], (L, hidden, ffn), hidden),
+        w_down=w(ks[6], (L, ffn, hidden), ffn),
+    )
+
+
+def _layer(params, cfg: CoreConfig, x, cos, sin, attend):
+    """One block on x [T, H]; `attend(q, k, v) -> o` supplies the attention
+    (and threads the KV cache via closure when decoding)."""
+    Hq, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    T = x.shape[0]
+
+    h = rms_norm(x, params.attn_norm, cfg.rms_norm_eps)
+    q = (h @ params.wq).reshape(T, Hq, D)
+    k = (h @ params.wk).reshape(T, Hkv, D)
+    v = (h @ params.wv).reshape(T, Hkv, D)
+    q = rms_norm(q, params.q_norm, cfg.rms_norm_eps)
+    k = rms_norm(k, params.k_norm, cfg.rms_norm_eps)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    o, kv_out = attend(q, k, v)
+    x = x + (o.reshape(T, Hq * D) @ params.wo)
+
+    h = rms_norm(x, params.ffn_norm, cfg.rms_norm_eps)
+    gate = jax.nn.silu((h @ params.w_gate).astype(jnp.float32)).astype(h.dtype)
+    x = x + ((gate * (h @ params.w_up)) @ params.w_down)
+    return x, kv_out
+
+
+def forward_prefill(
+    blocks: BlockParams,
+    cfg: CoreConfig,
+    x: jnp.ndarray,          # [P, H]
+    positions: jnp.ndarray,  # [P] int32
+    valid_len,               # scalar: tokens >= valid_len are padding
+    kv: jnp.ndarray,         # [L, 2, C, Hkv, D] preallocated cache
+    n_past: int | jnp.ndarray = 0,
+):
+    """Run the full stack over a (padded) prefill window, writing K/V into the
+    cache at [n_past, n_past+P). Returns (hidden [P, H] pre-output-norm, kv)."""
+    cos, sin = rope_for_positions(positions, cfg.head_dim, cfg.rope_theta)
+
+    def scan_fn(carry, layer_in):
+        x = carry
+        params_l, kv_l = layer_in
+
+        def attend(q, k, v):
+            k_cache = lax.dynamic_update_slice(kv_l[0], k.astype(kv_l.dtype), (n_past, 0, 0))
+            v_cache = lax.dynamic_update_slice(kv_l[1], v.astype(kv_l.dtype), (n_past, 0, 0))
+            # Prefill always starts from an empty cache in this pipeline
+            # (reference clears the cache before forward_prefill), so causal
+            # attention over the window itself is sufficient.
+            o = attn_ops.prefill_attention(q, k, v, valid_len=valid_len)
+            return o, jnp.stack([k_cache, v_cache])
+
+        x, kv_l_new = _layer(params_l, cfg, x, cos, sin, attend)
+        return x, kv_l_new
+
+    x, kv_new = lax.scan(scan_fn, x, (blocks, kv))
+    return x, kv_new
+
+
+def forward_step(
+    blocks: BlockParams,
+    cfg: CoreConfig,
+    x: jnp.ndarray,          # [H] single-token input
+    n_past: jnp.ndarray,     # scalar int: cache fill level == position
+    kv: jnp.ndarray,         # [L, 2, C, Hkv, D]
+):
+    """Single-token decode step; K/V written at position n_past; attention over
+    cache[0:n_past+1]. Returns (hidden [H] pre-output-norm, kv)."""
+    pos = jnp.asarray(n_past, jnp.int32)[None]
+    cos, sin = rope_for_positions(pos, cfg.head_dim, cfg.rope_theta)
+
+    def scan_fn(carry, layer_in):
+        x = carry
+        params_l, kv_l = layer_in
+
+        def attend(q, k, v):
+            k_cache = lax.dynamic_update_slice(kv_l[0], k.astype(kv_l.dtype), (n_past, 0, 0))
+            v_cache = lax.dynamic_update_slice(kv_l[1], v.astype(kv_l.dtype), (n_past, 0, 0))
+            o = attn_ops.decode_attention(q[0], k_cache, v_cache, n_past + 1)
+            return o[None], jnp.stack([k_cache, v_cache])
+
+        x2, kv_l_new = _layer(params_l, cfg, x[None], cos, sin, attend)
+        return x2[0], kv_l_new
+
+    x, kv_new = lax.scan(scan_fn, x, (blocks, kv))
+    return x, kv_new

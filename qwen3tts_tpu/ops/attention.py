@@ -1,0 +1,72 @@
+"""GQA attention in plain XLA (prefill + single-token decode).
+
+These are the portable reference paths; the Pallas fused decode kernel in
+``ops/pallas_attention.py`` is a drop-in replacement for ``decode_attention``
+on TPU. Semantics match the reference graphs:
+
+- scale 1/sqrt(head_dim), causal mask, softmax in f32
+  (src/tts_transformer.cpp:1219-1226)
+- GQA with n_heads query heads sharing n_kv_heads KV heads (16/8 for the
+  talker and code predictor; the vocoder pre-transformer is MHA 16/16).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def prefill_attention(
+    q: jnp.ndarray,        # [P, Hq, D]
+    k: jnp.ndarray,        # [P, Hkv, D]
+    v: jnp.ndarray,        # [P, Hkv, D]
+    valid_len: jnp.ndarray | int | None = None,
+) -> jnp.ndarray:
+    """Causal self-attention over a padded prefill window.
+
+    Positions >= valid_len are padding: they are masked out as keys. (Their
+    query outputs are garbage but are never read.) Returns [P, Hq, D].
+    """
+    P, Hq, D = q.shape
+    Hkv = k.shape[1]
+    group = Hq // Hkv
+    scale = 1.0 / (D ** 0.5)
+
+    qg = q.reshape(P, Hkv, group, D)
+    # scores[p, h, g, c]
+    scores = jnp.einsum("phgd,chd->phgc", qg, k, preferred_element_type=jnp.float32)
+    scores = scores * scale
+
+    pos = jnp.arange(P)
+    causal = pos[None, :] <= pos[:, None]            # [P(query), P(key)]
+    if valid_len is not None:
+        causal = causal & (pos[None, :] < valid_len)
+    scores = jnp.where(causal[:, None, None, :], scores, NEG_INF)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("phgc,chd->phgd", probs.astype(v.dtype), v)
+    return out.reshape(P, Hq, D)
+
+
+def decode_attention(
+    q: jnp.ndarray,        # [Hq, D]
+    k_cache: jnp.ndarray,  # [C, Hkv, D]
+    v_cache: jnp.ndarray,  # [C, Hkv, D]
+    n_valid: jnp.ndarray,  # scalar int: number of valid cache entries
+) -> jnp.ndarray:
+    """Single-token attention over a preallocated KV cache. Returns [Hq, D]."""
+    Hq, D = q.shape
+    C, Hkv, _ = k_cache.shape
+    group = Hq // Hkv
+    scale = 1.0 / (D ** 0.5)
+
+    qg = q.reshape(Hkv, group, D)
+    scores = jnp.einsum("hgd,chd->hgc", qg, k_cache, preferred_element_type=jnp.float32)
+    scores = scores * scale
+    mask = jnp.arange(C) < n_valid
+    scores = jnp.where(mask[None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("hgc,chd->hgd", probs.astype(v_cache.dtype), v_cache)
+    return out.reshape(Hq, D)

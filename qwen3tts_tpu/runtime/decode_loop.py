@@ -1,0 +1,184 @@
+"""The fused autoregressive frame loop — entirely on device under one jit.
+
+This replaces the reference's hot loop (src/tts_transformer.cpp:2577-2851),
+which rebuilds+reallocates GGML graphs every talker step and all 14 code
+predictor steps of every frame and round-trips logits to the host for
+sampling. Its own timing tables attribute ~71% of generation time to the code
+predictor and large constant costs to graph build/alloc (README.md:276-295).
+Under ``jax.jit`` with ``lax.while_loop`` none of that exists: one compiled
+program per (frame-bucket, text-bucket) pair runs prefill, per-frame talker
+steps, the 15-code predictor scan, and sampling without leaving the TPU.
+
+Per frame (matching generate() semantics exactly):
+  1. suppress codec ids [vocab-1024, vocab) except EOS on the cb0 logits
+  2. HF-style repetition penalty over the seen-cb0 mask
+  3. sample cb0 (greedy / temperature+top-k(+top-p)); stop on EOS 2150
+  4. code predictor -> codes 1..15
+  5. step_embd = codec_embd[cb0] + sum_cb code_pred_embd[cb-1][code_cb]
+                 + trailing_text_hidden[frame] (tts_pad beyond the schedule)
+     (tts_transformer.cpp:2759-2790)
+  6. talker forward_step -> next logits / hidden
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import CodePredictorConfig, SamplingConfig, TalkerConfig
+from ..models import code_predictor as cp_model
+from ..models import talker as talker_model
+from ..ops.sampling import apply_repetition_penalty, apply_suppression, sample_token
+
+
+class GenerateResult(NamedTuple):
+    codes: jnp.ndarray      # [max_frames, 16] int32 (rows >= n_frames are zero)
+    n_frames: jnp.ndarray   # scalar int32
+    hidden: jnp.ndarray     # [max_frames, H] output-normed per-frame talker hidden
+
+
+class _LoopState(NamedTuple):
+    frame: jnp.ndarray
+    n_past: jnp.ndarray
+    logits: jnp.ndarray
+    last_hidden: jnp.ndarray
+    kv: jnp.ndarray
+    seen: jnp.ndarray
+    codes: jnp.ndarray
+    hidden_out: jnp.ndarray
+    key: jax.Array
+    done: jnp.ndarray
+
+
+def generate(
+    talker_params: talker_model.TalkerParams,
+    cp_params: cp_model.CodePredictorParams,
+    talker_cfg: TalkerConfig,
+    cp_cfg: CodePredictorConfig,
+    prefill: talker_model.PrefillInputs,
+    key: jax.Array,
+    *,
+    max_frames: int,
+    kv_capacity: int,
+    temperature: float,
+    top_k: int,
+    top_p: float = 1.0,
+    repetition_penalty: float = 1.05,
+) -> GenerateResult:
+    """Run prefill + the full frame loop. Static args define the compiled
+    shape bucket; tensor args vary freely within it."""
+    H = talker_cfg.hidden_size
+    Vc = talker_cfg.codec_vocab_size
+    suppress_start = Vc - talker_cfg.n_suppressed_tail
+    prefill_len = prefill.prefill_embd.shape[0]
+    Trb = prefill.trailing.shape[0]
+    dtype = talker_params.codec_embd.dtype
+
+    kv = talker_model.make_kv_cache(talker_cfg, kv_capacity, dtype)
+    last_hidden, logits, kv = talker_model.talker_prefill(
+        talker_params, talker_cfg, prefill.prefill_embd, kv)
+
+    state = _LoopState(
+        frame=jnp.int32(0),
+        n_past=jnp.int32(prefill_len),
+        logits=logits,
+        last_hidden=last_hidden,
+        kv=kv,
+        seen=jnp.zeros((Vc,), jnp.bool_),
+        codes=jnp.zeros((max_frames, talker_cfg.n_codebooks), jnp.int32),
+        hidden_out=jnp.zeros((max_frames, H), dtype),
+        key=key,
+        done=jnp.bool_(False),
+    )
+
+    def cond(s: _LoopState):
+        return jnp.logical_and(~s.done, s.frame < max_frames)
+
+    def body(s: _LoopState) -> _LoopState:
+        # --- sample codebook 0 ---
+        l = apply_suppression(s.logits, suppress_start, talker_cfg.codec_eos_id)
+        l = apply_repetition_penalty(l, s.seen, repetition_penalty)
+        key, k_cb0, k_cp = jax.random.split(s.key, 3)
+        cb0 = sample_token(k_cb0, l, temperature=temperature, top_k=top_k, top_p=top_p)
+        done = cb0 == talker_cfg.codec_eos_id
+
+        # --- residual codebooks 1..15 ---
+        cb0_embd = talker_params.codec_embd[cb0]
+        rest = cp_model.predict_codes(
+            cp_params, cp_cfg, s.last_hidden.astype(dtype), cb0_embd, k_cp,
+            temperature=temperature, top_k=top_k, top_p=top_p)
+        frame_codes = jnp.concatenate([cb0[None], rest])
+
+        emit = ~done
+        codes = s.codes.at[s.frame].set(jnp.where(emit, frame_codes, s.codes[s.frame]))
+        hidden_out = s.hidden_out.at[s.frame].set(
+            jnp.where(emit, s.last_hidden.astype(s.hidden_out.dtype), s.hidden_out[s.frame]))
+        seen = s.seen.at[cb0].set(jnp.where(emit, True, s.seen[cb0]))
+
+        # --- next-step input embedding ---
+        rest_embds = cp_params.embds[jnp.arange(cp_cfg.n_steps), rest]   # [15, H]
+        trailing_row = prefill.trailing[jnp.minimum(s.frame, Trb - 1)]
+        step_embd = (cb0_embd.astype(jnp.float32)
+                     + jnp.sum(rest_embds.astype(jnp.float32), axis=0)
+                     + trailing_row.astype(jnp.float32)).astype(dtype)
+
+        # --- talker step ---
+        hidden, logits, kv = talker_model.talker_step(
+            talker_params, talker_cfg, step_embd, s.n_past, s.kv)
+
+        return _LoopState(
+            frame=s.frame + emit.astype(jnp.int32),
+            n_past=s.n_past + 1,
+            logits=logits,
+            last_hidden=hidden,
+            kv=kv,
+            seen=seen,
+            codes=codes,
+            hidden_out=hidden_out,
+            key=key,
+            done=done,
+        )
+
+    final = lax.while_loop(cond, body, state)
+    return GenerateResult(codes=final.codes, n_frames=final.frame, hidden=final.hidden_out)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "talker_cfg", "cp_cfg", "max_frames", "kv_capacity",
+        "temperature", "top_k", "top_p", "repetition_penalty", "nothink",
+    ),
+)
+def generate_from_tokens(
+    talker_params,
+    cp_params,
+    tokens: jnp.ndarray,        # [Tb] padded TTS-formatted ids
+    n_tokens: jnp.ndarray,      # scalar
+    speaker_embd: jnp.ndarray,  # [H]
+    language_id: jnp.ndarray,   # scalar
+    key: jax.Array,
+    *,
+    talker_cfg: TalkerConfig,
+    cp_cfg: CodePredictorConfig,
+    max_frames: int,
+    kv_capacity: int,
+    temperature: float,
+    top_k: int,
+    top_p: float = 1.0,
+    repetition_penalty: float = 1.05,
+    nothink: bool = False,
+) -> GenerateResult:
+    """End-to-end jitted path: prefill-embedding construction + generate."""
+    prefill = talker_model.build_prefill(
+        talker_params, talker_cfg, tokens, n_tokens, speaker_embd, language_id,
+        nothink=nothink)
+    return generate(
+        talker_params, cp_params, talker_cfg, cp_cfg, prefill, key,
+        max_frames=max_frames, kv_capacity=kv_capacity,
+        temperature=temperature, top_k=top_k, top_p=top_p,
+        repetition_penalty=repetition_penalty)
