@@ -229,6 +229,9 @@ def tiny_pipeline_config() -> PipelineConfig:
             intermediate_size=48,
             codec_vocab_size=3072,
             n_codebooks=16,
+            tts_bos_token_id=501,
+            tts_eos_token_id=502,
+            tts_pad_token_id=500,
         ),
         code_predictor=CodePredictorConfig(
             hidden_size=32,

@@ -1,0 +1,330 @@
+"""Independent NumPy float64 reference implementation for correctness tests.
+
+Deliberately written as straightforward full-sequence math (no KV caches, no
+scans, explicit loops) mirroring the reference engine's semantics
+(/root/reference/src/tts_transformer.cpp, audio_tokenizer_decoder.cpp), so
+that errors in the JAX implementation cannot correlate with errors here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# primitives
+# --------------------------------------------------------------------------
+
+def rms_norm(x, w, eps):
+    x = np.asarray(x, np.float64)
+    return x / np.sqrt(np.mean(x * x, axis=-1, keepdims=True) + eps) * w
+
+
+def silu(x):
+    return x / (1.0 + np.exp(-x))
+
+
+def neox_rope(x, positions, theta):
+    """x: [T, H, D]; rotate pairs (i, i + D/2)."""
+    T, H, D = x.shape
+    half = D // 2
+    inv_freq = theta ** (-np.arange(half, dtype=np.float64) / half)
+    ang = np.asarray(positions, np.float64)[:, None] * inv_freq  # [T, half]
+    cos, sin = np.cos(ang), np.sin(ang)
+    out = np.empty_like(x, dtype=np.float64)
+    x1, x2 = x[..., :half], x[..., half:]
+    out[..., :half] = x1 * cos[:, None, :] - x2 * sin[:, None, :]
+    out[..., half:] = x1 * sin[:, None, :] + x2 * cos[:, None, :]
+    return out
+
+
+def causal_attention(q, k, v, n_kv_heads):
+    """q: [T, Hq, D], k/v: [T, Hkv, D] (full sequence, causal)."""
+    T, Hq, D = q.shape
+    group = Hq // n_kv_heads
+    out = np.zeros_like(q)
+    for h in range(Hq):
+        kh = h // group
+        scores = (q[:, h, :] @ k[:, kh, :].T) / np.sqrt(D)  # [T, T]
+        mask = np.tril(np.ones((T, T), dtype=bool))
+        scores = np.where(mask, scores, -np.inf)
+        scores -= scores.max(axis=-1, keepdims=True)
+        p = np.exp(scores)
+        p /= p.sum(axis=-1, keepdims=True)
+        out[:, h, :] = p @ v[:, kh, :]
+    return out
+
+
+def block_forward(x, bp, li, n_heads, n_kv_heads, head_dim, eps, theta, positions):
+    """One decoder block over the full sequence. bp fields are stacked [L,...]
+    with the same [in, out] weight convention as the JAX side."""
+    T = x.shape[0]
+    h = rms_norm(x, np.asarray(bp.attn_norm[li], np.float64), eps)
+    q = (h @ np.asarray(bp.wq[li], np.float64)).reshape(T, n_heads, head_dim)
+    k = (h @ np.asarray(bp.wk[li], np.float64)).reshape(T, n_kv_heads, head_dim)
+    v = (h @ np.asarray(bp.wv[li], np.float64)).reshape(T, n_kv_heads, head_dim)
+    q = rms_norm(q, np.asarray(bp.q_norm[li], np.float64), eps)
+    k = rms_norm(k, np.asarray(bp.k_norm[li], np.float64), eps)
+    q = neox_rope(q, positions, theta)
+    k = neox_rope(k, positions, theta)
+    o = causal_attention(q, k, v, n_kv_heads).reshape(T, n_heads * head_dim)
+    x = x + o @ np.asarray(bp.wo[li], np.float64)
+    h = rms_norm(x, np.asarray(bp.ffn_norm[li], np.float64), eps)
+    gate = silu(h @ np.asarray(bp.w_gate[li], np.float64))
+    up = h @ np.asarray(bp.w_up[li], np.float64)
+    x = x + (gate * up) @ np.asarray(bp.w_down[li], np.float64)
+    return x
+
+
+def stack_forward(x, blocks, n_layers, n_heads, n_kv_heads, head_dim, eps, theta, positions):
+    for li in range(n_layers):
+        x = block_forward(x, blocks, li, n_heads, n_kv_heads, head_dim, eps, theta, positions)
+    return x
+
+
+# --------------------------------------------------------------------------
+# talker
+# --------------------------------------------------------------------------
+
+def text_projection(tp, tokens):
+    x = np.asarray(tp.text_embd, np.float64)[np.asarray(tokens)]
+    x = x @ np.asarray(tp.text_proj_fc1_w, np.float64) + np.asarray(tp.text_proj_fc1_b, np.float64)
+    x = silu(x)
+    x = x @ np.asarray(tp.text_proj_fc2_w, np.float64) + np.asarray(tp.text_proj_fc2_b, np.float64)
+    return x
+
+
+def build_prefill(tp, cfg, tokens, speaker, language_id):
+    """Mirror of tts_transformer.cpp:984-1122 (think variant)."""
+    codec_embd = np.asarray(tp.codec_embd, np.float64)
+    specials = text_projection(tp, [cfg.tts_bos_token_id, cfg.tts_eos_token_id, cfg.tts_pad_token_id])
+    tts_bos, tts_eos, tts_pad = specials
+    role = text_projection(tp, tokens[:3])
+    codec_prefill_ids = [cfg.codec_think_id, cfg.codec_think_bos_id, language_id, cfg.codec_think_eos_id]
+    codec_input = np.concatenate([
+        codec_embd[codec_prefill_ids],
+        np.asarray(speaker, np.float64)[None],
+        codec_embd[[cfg.codec_pad_id, cfg.codec_bos_id]],
+    ])
+    n = len(codec_input)
+    overlay = np.empty((n - 1, codec_input.shape[1]))
+    for t in range(n - 1):
+        ov = tts_bos if t == n - 2 else tts_pad
+        overlay[t] = codec_input[t] + ov
+    first_text = text_projection(tp, tokens[3:4])[0]
+    last = first_text + codec_input[-1]
+    prefill = np.concatenate([role, overlay, last[None]])
+
+    trailing_count = max(0, len(tokens) - 9)
+    rows = []
+    if trailing_count:
+        rows.append(text_projection(tp, tokens[4:4 + trailing_count]))
+    rows.append(tts_eos[None])
+    trailing = np.concatenate(rows)
+    return prefill, trailing, tts_pad
+
+
+def talker_logits_full(tp, cfg, embd_seq):
+    """Run the talker over a full embedding sequence; return per-position
+    output-normed hidden and logits (no cache — recomputed per call)."""
+    positions = np.arange(len(embd_seq))
+    x = stack_forward(np.asarray(embd_seq, np.float64), tp.blocks, cfg.n_layers,
+                      cfg.n_heads, cfg.n_kv_heads, cfg.head_dim,
+                      cfg.rms_norm_eps, cfg.rope_theta, positions)
+    normed = rms_norm(x, np.asarray(tp.output_norm, np.float64), cfg.rms_norm_eps)
+    logits = normed @ np.asarray(tp.codec_head, np.float64)
+    return normed, logits
+
+
+def code_predictor_greedy(cp, cfg, hidden, cb0_embd):
+    """AR greedy code prediction by full-sequence recomputation each step."""
+    seq = [np.asarray(hidden, np.float64), np.asarray(cb0_embd, np.float64)]
+    codes = []
+    for step in range(cfg.n_steps):
+        if step > 0:
+            seq.append(np.asarray(cp.embds, np.float64)[step - 1, codes[-1]])
+        x = np.stack(seq)
+        positions = np.arange(len(seq))
+        h = stack_forward(x, cp.blocks, cfg.n_layers, cfg.n_heads, cfg.n_kv_heads,
+                          cfg.head_dim, cfg.rms_norm_eps, cfg.rope_theta, positions)
+        h = rms_norm(h[-1], np.asarray(cp.output_norm, np.float64), cfg.rms_norm_eps)
+        logits = h @ np.asarray(cp.heads, np.float64)[step]
+        codes.append(int(np.argmax(logits)))
+    return codes
+
+
+def generate_greedy(tp, cp, tcfg, ccfg, tokens, speaker, language_id, max_frames):
+    """Full greedy generation mirroring tts_transformer.cpp:2577-2804, done by
+    recomputing the whole sequence every frame (no KV cache)."""
+    prefill, trailing, tts_pad = build_prefill(tp, tcfg, tokens, speaker, language_id)
+    codec_embd = np.asarray(tp.codec_embd, np.float64)
+    cp_embds = np.asarray(cp.embds, np.float64)
+    seq = list(prefill)
+    seen = set()
+    frames = []
+    suppress_start = tcfg.codec_vocab_size - 1024
+    for frame in range(max_frames):
+        normed, logits = talker_logits_full(tp, tcfg, np.stack(seq))
+        l = logits[-1].copy()
+        for i in range(suppress_start, tcfg.codec_vocab_size):
+            if i != tcfg.codec_eos_id:
+                l[i] = -np.inf
+        for t in seen:
+            if l[t] > 0:
+                l[t] /= 1.05
+            else:
+                l[t] *= 1.05
+        cb0 = int(np.argmax(l))
+        if cb0 == tcfg.codec_eos_id:
+            break
+        seen.add(cb0)
+        rest = code_predictor_greedy(cp, ccfg, normed[-1], codec_embd[cb0])
+        frames.append([cb0] + rest)
+        step = codec_embd[cb0].copy()
+        for cb in range(1, 16):
+            step = step + cp_embds[cb - 1, frames[-1][cb]]
+        trailing_row = trailing[frame] if frame < len(trailing) else tts_pad
+        step = step + trailing_row
+        seq.append(step)
+    return np.array(frames, dtype=np.int64).reshape(-1, 16)
+
+
+# --------------------------------------------------------------------------
+# vocoder
+# --------------------------------------------------------------------------
+
+def conv1d_ref(x, w, b, dilation=1, groups=1, causal=True):
+    """x: [T, Cin], w: [K, Cin/groups, Cout] (same layout as JAX side)."""
+    K, _, Cout = w.shape
+    T, Cin = x.shape
+    pad = dilation * (K - 1)
+    if causal:
+        xp = np.concatenate([np.zeros((pad, Cin)), x])
+    else:
+        xp = np.concatenate([np.zeros((pad // 2, Cin)), x, np.zeros((pad - pad // 2, Cin))])
+    y = np.zeros((T, Cout))
+    group_in = Cin // groups
+    group_out = Cout // groups
+    for t in range(T):
+        for k in range(K):
+            xt = xp[t + k * dilation]
+            for g in range(groups):
+                y[t, g * group_out:(g + 1) * group_out] += (
+                    xt[g * group_in:(g + 1) * group_in]
+                    @ w[k, :, g * group_out:(g + 1) * group_out]
+                )
+    if b is not None:
+        y += b
+    return y
+
+
+def conv_transpose1d_ref(x, w_flipped, b, stride, trim="causal"):
+    """x: [T, Cin]; w_flipped: [K, Cin, Cout] pre-flipped like the JAX side,
+    i.e. torch weight W[i, o, k] == w_flipped[K-1-k, i, o]. Computed directly
+    from the torch definition y[js + k] += x[j] @ W[:, :, k]."""
+    K, Cin, Cout = w_flipped.shape
+    T = x.shape[0]
+    full = (T - 1) * stride + K
+    y = np.zeros((full, Cout))
+    for j in range(T):
+        for k in range(K):
+            Wk = w_flipped[K - 1 - k]   # [Cin, Cout] == torch W[:, :, k]
+            y[j * stride + k] += x[j] @ Wk
+    cut = K - stride
+    if cut > 0:
+        y = y[:full - cut] if trim == "causal" else y[cut:full - cut]
+    if b is not None:
+        y += b
+    return y
+
+
+def snake_ref(x, alpha, beta):
+    return x + np.exp(-np.asarray(beta, np.float64)) * np.sin(x * np.exp(np.asarray(alpha, np.float64))) ** 2
+
+
+def layer_norm_ref(x, w, b, eps):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + eps) * w + b
+
+
+def gelu_exact(x):
+    from math import sqrt
+    from scipy.special import erf  # scipy is available transitively; fallback below
+    return 0.5 * x * (1.0 + erf(x / sqrt(2.0)))
+
+
+def _gelu(x):
+    try:
+        return gelu_exact(x)
+    except Exception:
+        import math
+        vec = np.vectorize(lambda v: 0.5 * v * (1.0 + math.erf(v / math.sqrt(2.0))))
+        return vec(x)
+
+
+def mha_rope_causal(x, p, li, n_heads, qkv_dim, eps, theta):
+    T, W = x.shape
+    D = qkv_dim // n_heads
+    h = rms_norm(x, np.asarray(p.attn_norm[li], np.float64), eps)
+    q = (h @ np.asarray(p.wq[li], np.float64)).reshape(T, n_heads, D)
+    k = (h @ np.asarray(p.wk[li], np.float64)).reshape(T, n_heads, D)
+    v = (h @ np.asarray(p.wv[li], np.float64)).reshape(T, n_heads, D)
+    positions = np.arange(T)
+    q = neox_rope(q, positions, theta)
+    k = neox_rope(k, positions, theta)
+    o = causal_attention(q, k, v, n_heads).reshape(T, qkv_dim)
+    x = x + (o @ np.asarray(p.wo[li], np.float64)) * np.asarray(p.attn_scale[li], np.float64)
+    h = rms_norm(x, np.asarray(p.ffn_norm[li], np.float64), eps)
+    gate = silu(h @ np.asarray(p.w_gate[li], np.float64))
+    up = h @ np.asarray(p.w_up[li], np.float64)
+    x = x + ((gate * up) @ np.asarray(p.w_down[li], np.float64)) * np.asarray(p.ffn_scale[li], np.float64)
+    return x
+
+
+def vocoder_ref(vp, cfg, codes, trim="causal"):
+    """codes: [T, 16] -> waveform [T * samples_per_frame]."""
+    codes = np.asarray(codes)
+    T = codes.shape[0]
+    f64 = lambda a: np.asarray(a, np.float64)
+
+    first = f64(vp.vq_first_cb)[codes[:, 0]]
+    latent = first @ f64(vp.vq_first_proj)
+    for cb in range(cfg.n_codebooks - 1):
+        emb = f64(vp.vq_rest_cb)[cb][codes[:, cb + 1]]
+        latent = latent + emb @ f64(vp.vq_rest_proj)
+
+    x = conv1d_ref(latent, f64(vp.pre_conv_w), f64(vp.pre_conv_b), causal=True)
+    x = x @ f64(vp.pt_in_w) + f64(vp.pt_in_b)
+    for li in range(cfg.n_pre_tfm_layers):
+        x = mha_rope_causal(x, vp.pt_blocks, li, cfg.n_heads, cfg.pre_tfm_qkv_dim,
+                            cfg.rms_norm_eps, cfg.rope_theta)
+    x = rms_norm(x, f64(vp.pt_norm), cfg.rms_norm_eps)
+    x = x @ f64(vp.pt_out_w) + f64(vp.pt_out_b)
+
+    for i in range(cfg.n_convnext):
+        C = x.shape[1]
+        x = conv_transpose1d_ref(x, f64(vp.convnext.convt_w[i]), f64(vp.convnext.convt_b[i]), 2, trim)
+        res = x
+        x = conv1d_ref(x, f64(vp.convnext.dw_w[i]), f64(vp.convnext.dw_b[i]), groups=C, causal=True)
+        x = layer_norm_ref(x, f64(vp.convnext.ln_w[i]), f64(vp.convnext.ln_b[i]), 1e-6)
+        x = x @ f64(vp.convnext.pw1_w[i]) + f64(vp.convnext.pw1_b[i])
+        x = _gelu(x)
+        x = x @ f64(vp.convnext.pw2_w[i]) + f64(vp.convnext.pw2_b[i])
+        x = res + x * f64(vp.convnext.gamma[i])
+
+    x = conv1d_ref(x, f64(vp.dec0_w), f64(vp.dec0_b), causal=True)
+    for blk, rate in zip(vp.dec_blocks, cfg.upsample_rates):
+        x = snake_ref(x, blk.snake_alpha, blk.snake_beta)
+        x = conv_transpose1d_ref(x, f64(blk.convt_w), f64(blk.convt_b), rate, trim)
+        for i, d in enumerate(cfg.res_dilations):
+            r = x
+            x = snake_ref(x, blk.res.act1_alpha[i], blk.res.act1_beta[i])
+            x = conv1d_ref(x, f64(blk.res.conv1_w[i]), f64(blk.res.conv1_b[i]), dilation=d, causal=True)
+            x = snake_ref(x, blk.res.act2_alpha[i], blk.res.act2_beta[i])
+            x = conv1d_ref(x, f64(blk.res.conv2_w[i]), f64(blk.res.conv2_b[i]), causal=True)
+            x = r + x
+
+    x = snake_ref(x, vp.final_alpha, vp.final_beta)
+    x = conv1d_ref(x, f64(vp.out_w), f64(vp.out_b), causal=True)
+    return np.tanh(x[:, 0])

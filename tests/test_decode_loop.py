@@ -1,0 +1,95 @@
+"""End-to-end greedy generation parity: fused on-device loop vs NumPy ref.
+
+The strongest correctness check available without real weights: with identical
+synthetic float32 weights, the jitted lax.while_loop generate() must emit the
+exact same integer code sequence as a from-scratch NumPy float64 loop that
+recomputes the whole sequence every frame.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3tts_tpu.config import tiny_pipeline_config
+from qwen3tts_tpu.models import code_predictor as CP
+from qwen3tts_tpu.models import talker as T
+from qwen3tts_tpu.runtime import decode_loop as DL
+
+import reference_impl as ref
+
+CFG = tiny_pipeline_config()
+TCFG, CCFG = CFG.talker, CFG.code_predictor
+
+
+@pytest.fixture(scope="module")
+def params():
+    tp = T.init_talker_params(jax.random.PRNGKey(11), TCFG, jnp.float32)
+    cp = CP.init_code_predictor_params(jax.random.PRNGKey(12), CCFG, jnp.float32)
+    return tp, cp
+
+
+def _run_jax(tp, cp, tokens, n_tok, max_frames, **kw):
+    Tb = 16
+    padded = np.zeros((Tb,), np.int32)
+    padded[:n_tok] = tokens[:n_tok]
+    return DL.generate_from_tokens(
+        tp, cp, jnp.asarray(padded), jnp.int32(n_tok),
+        jnp.zeros((TCFG.hidden_size,), jnp.float32), jnp.int32(TCFG.english_language_id),
+        jax.random.PRNGKey(0),
+        talker_cfg=TCFG, cp_cfg=CCFG, max_frames=max_frames,
+        kv_capacity=10 + max_frames + 8, **kw)
+
+
+def test_greedy_generation_matches_numpy_reference(params):
+    tp, cp = params
+    tokens = np.array([3, 7, 11, 42, 43, 44, 45, 5, 3, 7, 11], np.int32)  # 11 tokens
+    res = _run_jax(tp, cp, tokens, len(tokens), max_frames=6,
+                   temperature=0.0, top_k=0, repetition_penalty=1.05)
+    want = ref.generate_greedy(tp, cp, TCFG, CCFG, tokens,
+                               np.zeros(TCFG.hidden_size), TCFG.english_language_id, 6)
+    n = int(res.n_frames)
+    assert n == want.shape[0]
+    got = np.asarray(res.codes[:n])
+    mismatch = (got != want).mean() if n else 0.0
+    # f32 vs f64 rounding can flip an argmax at a near-tie; demand near-exact.
+    assert mismatch <= 0.05, f"code mismatch rate {mismatch:.3f}\n{got}\n{want}"
+
+
+def test_codes_within_vocab_and_padding_zero(params):
+    tp, cp = params
+    tokens = np.arange(2, 13, dtype=np.int32)
+    res = _run_jax(tp, cp, tokens, len(tokens), max_frames=8,
+                   temperature=0.9, top_k=50, repetition_penalty=1.05)
+    codes = np.asarray(res.codes)
+    n = int(res.n_frames)
+    assert (codes[:n, 0] >= 0).all() and (codes[:n, 0] < TCFG.codec_vocab_size - 1024).all()
+    assert (codes[:n, 1:] >= 0).all() and (codes[:n, 1:] < CCFG.vocab_size).all()
+    assert (codes[n:] == 0).all()
+
+
+def test_sampled_generation_is_reproducible(params):
+    tp, cp = params
+    tokens = np.arange(2, 13, dtype=np.int32)
+    a = _run_jax(tp, cp, tokens, len(tokens), max_frames=5,
+                 temperature=0.9, top_k=50, repetition_penalty=1.05)
+    b = _run_jax(tp, cp, tokens, len(tokens), max_frames=5,
+                 temperature=0.9, top_k=50, repetition_penalty=1.05)
+    np.testing.assert_array_equal(np.asarray(a.codes), np.asarray(b.codes))
+
+
+def test_text_bucket_padding_is_invisible(params):
+    """Same text padded into a larger bucket must generate identical codes."""
+    tp, cp = params
+    tokens = np.arange(2, 13, dtype=np.int32)
+    kw = dict(talker_cfg=TCFG, cp_cfg=CCFG, max_frames=5, kv_capacity=23,
+              temperature=0.0, top_k=0, repetition_penalty=1.05)
+    outs = []
+    for Tb in (16, 32):
+        padded = np.zeros((Tb,), np.int32)
+        padded[:len(tokens)] = tokens
+        outs.append(DL.generate_from_tokens(
+            tp, cp, jnp.asarray(padded), jnp.int32(len(tokens)),
+            jnp.zeros((TCFG.hidden_size,), jnp.float32), jnp.int32(2050),
+            jax.random.PRNGKey(0), **kw))
+    np.testing.assert_array_equal(np.asarray(outs[0].codes), np.asarray(outs[1].codes))
