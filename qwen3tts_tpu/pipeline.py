@@ -1,0 +1,389 @@
+"""Qwen3TTS pipeline orchestrator (reference component #2, SURVEY.md §2).
+
+Mirrors the reference API surface (src/qwen3_tts.h:82-143):
+``load_models`` / ``synthesize`` / ``synthesize_with_voice`` /
+``set_progress_callback``, plus the lifecycle policies:
+
+- speaker encoder loads lazily on the first voice-cloning request
+  (qwen3_tts.cpp:244-260)
+- QWEN3_TTS_LOW_MEM=1 drops the talker after generation and the vocoder
+  after decode, reloading on the next call (qwen3_tts.cpp:126-131,332-407)
+- basic synthesis uses a zero speaker embedding (qwen3_tts.cpp:204-208)
+- per-stage wall times + RSS snapshots in the result (qwen3_tts.cpp:414-439)
+
+TPU-first differences: every stage is a jitted program compiled per shape
+bucket; ``warmup()`` pre-compiles the serving buckets; and with no checkpoint
+available the pipeline can self-initialize deterministic synthetic weights at
+the exact configured shapes (``load_models(synthetic=True)``) so the whole
+system is exercisable anywhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .audio import mel as mel_mod
+from .audio.wav import load_wav, resample_linear, save_wav  # noqa: F401 (re-export)
+from .config import PipelineConfig, SamplingConfig
+from .io import loader as loader_mod
+from .models import code_predictor as cp_model
+from .models import speaker_encoder as se_model
+from .models import talker as talker_model
+from .models import vocoder as vocoder_model
+from .runtime import decode_loop
+from .runtime.buckets import pick_bucket
+from .runtime.timing import StageTimings, now_ms, rss_bytes
+from .text.bpe import TextTokenizer, synthetic_tokenizer
+
+# Language name/code -> codec language id (reference src/main.cpp:104-113).
+LANGUAGE_IDS = {
+    "en": 2050, "english": 2050,
+    "de": 2053, "german": 2053,
+    "es": 2054, "spanish": 2054,
+    "zh": 2055, "chinese": 2055,
+    "ja": 2058, "japanese": 2058,
+    "fr": 2061, "french": 2061,
+    "ko": 2064, "korean": 2064,
+    "ru": 2069, "russian": 2069,
+    "it": 2070, "italian": 2070,
+    "pt": 2071, "portuguese": 2071,
+}
+
+
+@dataclasses.dataclass
+class TTSResult:
+    audio: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0, np.float32))
+    sample_rate: int = 24000
+    codes: Optional[np.ndarray] = None
+    n_frames: int = 0
+    success: bool = False
+    error_msg: str = ""
+    timings: StageTimings = dataclasses.field(default_factory=StageTimings)
+
+    @property
+    def audio_seconds(self) -> float:
+        return len(self.audio) / self.sample_rate if self.sample_rate else 0.0
+
+
+class Qwen3TTS:
+    """End-to-end text -> 24 kHz waveform pipeline on TPU."""
+
+    def __init__(self, config: Optional[PipelineConfig] = None):
+        self.config = config or PipelineConfig()
+        self.dtype = jnp.bfloat16 if self.config.runtime.dtype == "bfloat16" else jnp.float32
+        self.tokenizer: Optional[TextTokenizer] = None
+        self.talker_params = None
+        self.cp_params = None
+        self.vocoder_params = None
+        self.speaker_params = None
+        self._mel_fb = None
+        self._mel_win = None
+        self._loaded = False
+        self._model_dir: Optional[str] = None
+        self._synthetic_seed: Optional[int] = None
+        self.low_mem = bool(os.environ.get("QWEN3_TTS_LOW_MEM", "").strip("0"))
+        self.progress_callback: Optional[Callable[[int, int], None]] = None
+        self.error_msg = ""
+
+    # ------------------------------------------------------------------
+    # model lifecycle
+    # ------------------------------------------------------------------
+
+    def load_models(self, model_dir: Optional[str] = None, *, synthetic: bool = False,
+                    seed: int = 0) -> bool:
+        """Load weights from an HF checkpoint directory (containing the
+        Qwen3-TTS-12Hz-0.6B-Base and Qwen3-TTS-Tokenizer-12Hz subdirs or their
+        safetensors directly), or deterministic synthetic weights."""
+        t0 = now_ms()
+        self._model_dir = model_dir
+        self._synthetic_seed = seed if (synthetic or model_dir is None) else None
+        try:
+            self._load_tokenizer()
+            self._load_talker()
+            if not self.low_mem:
+                self._load_vocoder()
+            self._loaded = True
+        except Exception as e:  # noqa: BLE001 - surface as error string like the reference
+            self.error_msg = f"Failed to load models: {e}"
+            return False
+        self._t_load_ms = now_ms() - t0
+        return True
+
+    def _paths(self):
+        d = self._model_dir
+        tts_dir, tok_dir = None, None
+        if d:
+            for name in sorted(os.listdir(d)):
+                sub = os.path.join(d, name)
+                if not os.path.isdir(sub):
+                    continue
+                low = name.lower()
+                if "tokenizer" in low:
+                    tok_dir = sub
+                elif "tts" in low or "base" in low:
+                    tts_dir = sub
+            if tts_dir is None and any(f.endswith(".safetensors") for f in os.listdir(d)):
+                tts_dir = d
+        return tts_dir, tok_dir
+
+    def _load_tokenizer(self):
+        tts_dir, _ = self._paths()
+        if self._synthetic_seed is not None or tts_dir is None:
+            self.tokenizer = synthetic_tokenizer(self.config.talker.text_vocab_size)
+        else:
+            self.tokenizer = TextTokenizer.from_hf_dir(tts_dir)
+
+    def _load_talker(self):
+        cfg = self.config
+        if self._synthetic_seed is not None:
+            key = jax.random.PRNGKey(self._synthetic_seed)
+            k1, k2 = jax.random.split(key)
+            self.talker_params = talker_model.init_talker_params(k1, cfg.talker, self.dtype)
+            self.cp_params = cp_model.init_code_predictor_params(k2, cfg.code_predictor, self.dtype)
+        else:
+            tts_dir, _ = self._paths()
+            st = loader_mod.open_checkpoint_dir(tts_dir)
+            self.talker_params = loader_mod.load_talker(st, cfg.talker, self.dtype)
+            self.cp_params = loader_mod.load_code_predictor(st, cfg.code_predictor, self.dtype)
+
+    def _load_vocoder(self):
+        cfg = self.config
+        if self._synthetic_seed is not None:
+            self.vocoder_params = vocoder_model.init_vocoder_params(
+                jax.random.PRNGKey(self._synthetic_seed + 1), cfg.vocoder, jnp.float32)
+        else:
+            _, tok_dir = self._paths()
+            if tok_dir is None:
+                raise FileNotFoundError("tokenizer (vocoder) checkpoint dir not found")
+            st = loader_mod.open_checkpoint_dir(tok_dir)
+            self.vocoder_params = loader_mod.load_vocoder(st, cfg.vocoder, jnp.float32)
+
+    def _load_speaker_encoder(self):
+        cfg = self.config
+        if self._synthetic_seed is not None:
+            self.speaker_params = se_model.init_speaker_encoder_params(
+                jax.random.PRNGKey(self._synthetic_seed + 2), cfg.speaker_encoder, jnp.float32)
+        else:
+            tts_dir, _ = self._paths()
+            st = loader_mod.open_checkpoint_dir(tts_dir)
+            self.speaker_params = loader_mod.load_speaker_encoder(st, cfg.speaker_encoder, jnp.float32)
+        self._mel_fb = jnp.asarray(mel_mod.slaney_mel_filterbank(cfg.speaker_encoder))
+        self._mel_win = jnp.asarray(mel_mod.centered_hann(cfg.speaker_encoder))
+
+    def unload_models(self):
+        self.talker_params = self.cp_params = None
+        self.vocoder_params = self.speaker_params = None
+        self._loaded = False
+
+    @property
+    def is_loaded(self) -> bool:
+        return self._loaded
+
+    def set_progress_callback(self, cb: Optional[Callable[[int, int], None]]):
+        self.progress_callback = cb
+
+    # ------------------------------------------------------------------
+    # synthesis
+    # ------------------------------------------------------------------
+
+    def synthesize(self, text: str, params: SamplingConfig = SamplingConfig()) -> TTSResult:
+        """Basic synthesis with the model's default voice (zero x-vector)."""
+        speaker = np.zeros((self.config.talker.hidden_size,), np.float32)
+        return self._synthesize_internal(text, speaker, params, t_encode_ms=0.0)
+
+    def synthesize_with_voice(
+        self,
+        text: str,
+        reference_audio: Union[str, np.ndarray],
+        params: SamplingConfig = SamplingConfig(),
+        reference_sample_rate: Optional[int] = None,
+    ) -> TTSResult:
+        """Voice cloning from a reference waveform (path or samples)."""
+        result = TTSResult()
+        if not self._loaded:
+            result.error_msg = "Models not loaded"
+            return result
+        if isinstance(reference_audio, str):
+            samples, sr = load_wav(reference_audio)
+        else:
+            samples = np.asarray(reference_audio, np.float32)
+            sr = reference_sample_rate or self.config.speaker_encoder.sample_rate
+        if sr != self.config.speaker_encoder.sample_rate:
+            samples = resample_linear(samples, sr, self.config.speaker_encoder.sample_rate)
+
+        t0 = now_ms()
+        speaker = self.extract_speaker_embedding(samples)
+        t_encode = now_ms() - t0
+        return self._synthesize_internal(text, speaker, params, t_encode_ms=t_encode)
+
+    def extract_speaker_embedding(self, samples: np.ndarray) -> np.ndarray:
+        """ECAPA-TDNN x-vector from 24 kHz samples (jitted, bucketed)."""
+        if self.speaker_params is None:
+            self._load_speaker_encoder()
+        cfg = self.config.speaker_encoder
+        Sb = pick_bucket(len(samples), self.config.runtime.speaker_buckets)
+        buf = np.zeros((Sb,), np.float32)
+        buf[: min(len(samples), Sb)] = samples[:Sb]
+        emb = _speaker_embed_jit(
+            self.speaker_params, cfg, jnp.asarray(buf),
+            jnp.int32(min(len(samples), Sb)), self._mel_fb, self._mel_win)
+        return np.asarray(emb)
+
+    def _synthesize_internal(self, text: str, speaker: np.ndarray,
+                             params: SamplingConfig, t_encode_ms: float) -> TTSResult:
+        result = TTSResult()
+        result.timings.t_encode_ms = t_encode_ms
+        result.timings.mem_rss_start = rss_bytes()
+        t_total0 = now_ms()
+
+        if not self._loaded:
+            result.error_msg = "Models not loaded"
+            return result
+
+        rt = self.config.runtime
+        tcfg, ccfg = self.config.talker, self.config.code_predictor
+
+        # 1. tokenize
+        t0 = now_ms()
+        tokens = self.tokenizer.encode_for_tts(text)
+        result.timings.t_tokenize_ms = now_ms() - t0
+        if len(tokens) < 10:
+            result.error_msg = "Need at least 10 formatted tokens"
+            return result
+
+        # 2. generate codes (fused on-device loop)
+        if self.talker_params is None:
+            self._load_talker()
+        t0 = now_ms()
+        Tb = pick_bucket(len(tokens), rt.prefill_buckets)
+        padded = np.zeros((Tb,), np.int32)
+        padded[: len(tokens)] = tokens
+        max_frames = pick_bucket(params.max_audio_tokens, rt.frame_buckets)
+        kv_capacity = 10 + max_frames + rt.kv_margin
+
+        progress_cb = None
+        if self.progress_callback is not None:
+            user_cb = self.progress_callback
+            total = params.max_audio_tokens
+
+            def progress_cb(frame):  # noqa: ANN001
+                user_cb(int(frame), total)
+
+        gen = decode_loop.generate_from_tokens(
+            self.talker_params, self.cp_params,
+            jnp.asarray(padded), jnp.int32(len(tokens)),
+            jnp.asarray(speaker, jnp.float32), jnp.int32(params.language_id),
+            jax.random.PRNGKey(params.seed),
+            talker_cfg=tcfg, cp_cfg=ccfg,
+            max_frames=max_frames, kv_capacity=kv_capacity,
+            temperature=params.temperature, top_k=params.top_k, top_p=params.top_p,
+            repetition_penalty=params.repetition_penalty,
+            nothink=params.language_id < 0,
+            progress_cb=progress_cb,
+        )
+        n_frames = int(gen.n_frames)
+        n_frames = min(n_frames, params.max_audio_tokens)
+        codes = np.asarray(gen.codes[:n_frames])
+        result.timings.t_generate_ms = now_ms() - t0
+        result.codes = codes
+        result.n_frames = n_frames
+        if n_frames == 0:
+            result.error_msg = "No speech codes generated"
+            return result
+
+        if self.low_mem:
+            self.talker_params = self.cp_params = None
+
+        # 3. vocoder decode
+        if self.vocoder_params is None:
+            self._load_vocoder()
+        t0 = now_ms()
+        audio = self.decode_codes(codes)
+        result.timings.t_decode_ms = now_ms() - t0
+
+        if self.low_mem:
+            self.vocoder_params = None
+
+        result.audio = audio
+        result.sample_rate = self.config.vocoder.sample_rate
+        result.success = True
+        result.timings.t_total_ms = now_ms() - t_total0
+        result.timings.mem_rss_peak = rss_bytes()
+        return result
+
+    def decode_codes(self, codes: np.ndarray) -> np.ndarray:
+        """codes [n_frames, 16] -> waveform (bucketed, optionally chunked)."""
+        vcfg = self.config.vocoder
+        rt = self.config.runtime
+        n = codes.shape[0]
+        spf = vcfg.samples_per_frame
+        chunk = rt.vocoder_chunk_frames
+        if chunk and n > chunk:
+            return self._decode_streaming(codes, chunk)
+        Fb = pick_bucket(n, rt.vocoder_buckets)
+        buf = np.zeros((Fb, vcfg.n_codebooks), np.int32)
+        buf[:n] = codes
+        audio = vocoder_model.vocoder_decode(
+            self.vocoder_params, vcfg, jnp.asarray(buf), jnp.int32(n))
+        return np.asarray(audio[: n * spf])
+
+    def _decode_streaming(self, codes: np.ndarray, chunk: int) -> np.ndarray:
+        return np.concatenate(list(self.stream_decode_chunks(codes, chunk)))
+
+    def stream_decode_chunks(self, codes: np.ndarray, chunk: int, history: int = 16):
+        """Chunked vocoder decode: every chunk is decoded with `history` left-
+        context frames whose output samples are discarded. The stack is fully
+        causal, so as long as `history` covers the (frame-level) receptive
+        field of the conv pipeline the seams are inaudible (exactness is
+        bounded by the pre-transformer's unbounded causal attention, which in
+        practice decays; parity tests bound the error)."""
+        vcfg = self.config.vocoder
+        spf = vcfg.samples_per_frame
+        n = codes.shape[0]
+        Fb = pick_bucket(chunk + history, self.config.runtime.vocoder_buckets)
+        start = 0
+        while start < n:
+            lo = max(0, start - history)
+            hi = min(n, start + chunk)
+            window = codes[lo:hi]
+            buf = np.zeros((Fb, vcfg.n_codebooks), np.int32)
+            buf[: len(window)] = window
+            audio = vocoder_model.vocoder_decode(
+                self.vocoder_params, vcfg, jnp.asarray(buf), jnp.int32(len(window)))
+            audio = np.asarray(audio)
+            yield audio[(start - lo) * spf: (hi - lo) * spf]
+            start = hi
+
+    # ------------------------------------------------------------------
+    # warmup
+    # ------------------------------------------------------------------
+
+    def warmup(self, *, text_bucket: Optional[int] = None, frame_bucket: Optional[int] = None,
+               clone: bool = False) -> None:
+        """Pre-compile the serving-path programs for the given buckets."""
+        rt = self.config.runtime
+        tb = text_bucket or rt.prefill_buckets[0]
+        fb = frame_bucket or rt.frame_buckets[0]
+        params = SamplingConfig(max_audio_tokens=fb)
+        tokens = self.tokenizer.encode_for_tts("warm up.")
+        dummy = "warm up." if len(tokens) <= tb else "w"
+        if clone:
+            ref = np.zeros((self.config.runtime.speaker_buckets[0],), np.float32)
+            self.synthesize_with_voice(dummy, ref, params)
+        else:
+            self.synthesize(dummy, params)
+
+
+import functools  # noqa: E402
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _speaker_embed_jit(params, cfg, samples, n_samples, fb, win):
+    mel, n_frames = mel_mod.log_mel(samples, n_samples, cfg, fb, win)
+    return se_model.speaker_encoder_forward(params, cfg, mel, n_frames)

@@ -68,9 +68,15 @@ def generate(
     top_k: int,
     top_p: float = 1.0,
     repetition_penalty: float = 1.05,
+    progress_cb=None,
 ) -> GenerateResult:
     """Run prefill + the full frame loop. Static args define the compiled
-    shape bucket; tensor args vary freely within it."""
+    shape bucket; tensor args vary freely within it.
+
+    progress_cb, if given, is invoked from the device loop via io_callback
+    with the current frame count — this wires up the reference's declared-but-
+    never-called progress callback (qwen3_tts.cpp:444-446) for real. It costs
+    a host round trip per frame; leave it None on the fast path."""
     H = talker_cfg.hidden_size
     Vc = talker_cfg.codec_vocab_size
     suppress_start = Vc - talker_cfg.n_suppressed_tail
@@ -130,6 +136,10 @@ def generate(
         hidden, logits, kv = talker_model.talker_step(
             talker_params, talker_cfg, step_embd, s.n_past, s.kv)
 
+        if progress_cb is not None:
+            jax.experimental.io_callback(
+                progress_cb, None, s.frame + emit.astype(jnp.int32), ordered=False)
+
         return _LoopState(
             frame=s.frame + emit.astype(jnp.int32),
             n_past=s.n_past + 1,
@@ -152,6 +162,7 @@ def generate(
     static_argnames=(
         "talker_cfg", "cp_cfg", "max_frames", "kv_capacity",
         "temperature", "top_k", "top_p", "repetition_penalty", "nothink",
+        "progress_cb",
     ),
 )
 def generate_from_tokens(
@@ -172,6 +183,7 @@ def generate_from_tokens(
     top_p: float = 1.0,
     repetition_penalty: float = 1.05,
     nothink: bool = False,
+    progress_cb=None,
 ) -> GenerateResult:
     """End-to-end jitted path: prefill-embedding construction + generate."""
     prefill = talker_model.build_prefill(
@@ -181,4 +193,4 @@ def generate_from_tokens(
         talker_params, cp_params, talker_cfg, cp_cfg, prefill, key,
         max_frames=max_frames, kv_capacity=kv_capacity,
         temperature=temperature, top_k=top_k, top_p=top_p,
-        repetition_penalty=repetition_penalty)
+        repetition_penalty=repetition_penalty, progress_cb=progress_cb)

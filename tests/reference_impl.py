@@ -328,3 +328,106 @@ def vocoder_ref(vp, cfg, codes, trim="causal"):
     x = snake_ref(x, vp.final_alpha, vp.final_beta)
     x = conv1d_ref(x, f64(vp.out_w), f64(vp.out_b), causal=True)
     return np.tanh(x[:, 0])
+
+
+# --------------------------------------------------------------------------
+# speaker encoder (ECAPA-TDNN) + mel front end
+# --------------------------------------------------------------------------
+
+def mel_ref(samples, cfg):
+    """Direct transcription of audio_tokenizer_encoder.cpp:288-371 with an
+    O(N^2)-equivalent DFT via np.fft (same math)."""
+    samples = np.asarray(samples, np.float64)
+    n = len(samples)
+    pad = (cfg.n_fft - cfg.hop_length) // 2
+    padded = np.empty(n + 2 * pad)
+    for i in range(len(padded)):
+        j = i - pad
+        if j < 0:
+            j = -j
+        if j >= n:
+            j = 2 * n - 2 - j
+        padded[i] = samples[min(max(j, 0), n - 1)]
+    n_frames = (len(padded) - cfg.n_fft) // cfg.hop_length + 1
+
+    window = np.zeros(cfg.n_fft)
+    off = (cfg.n_fft - cfg.win_length) // 2
+    w = cfg.win_length
+    window[off:off + w] = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(w) / w))
+
+    from qwen3tts_tpu.audio.mel import slaney_mel_filterbank
+    fb = np.asarray(slaney_mel_filterbank(cfg), np.float64)
+
+    mel = np.zeros((n_frames, cfg.n_mels))
+    for f in range(n_frames):
+        frame = padded[f * cfg.hop_length: f * cfg.hop_length + cfg.n_fft] * window
+        spec = np.fft.rfft(frame)
+        mag = np.sqrt(spec.real ** 2 + spec.imag ** 2 + 1e-9)
+        mel[f] = np.log(np.maximum(fb @ mag, 1e-5))
+    return mel
+
+
+def _conv_reflect_ref(x, w, b, dilation=1):
+    """'Same' conv with reflect padding; x [T, Cin], w [K, Cin, Cout]."""
+    K = w.shape[0]
+    T = x.shape[0]
+    if K == 1:
+        return x @ w[0] + b
+    pad = dilation * (K - 1) // 2
+    xp = np.pad(x, ((pad, pad), (0, 0)), mode="reflect")
+    y = np.zeros((T, w.shape[2]))
+    for t in range(T):
+        for k in range(K):
+            y[t] += xp[t + k * dilation] @ w[k]
+    return y + b
+
+
+def relu(x):
+    return np.maximum(x, 0.0)
+
+
+def speaker_encoder_ref(p, cfg, mel):
+    """Full-length (unmasked) ECAPA forward mirroring
+    audio_tokenizer_encoder.cpp:445-701."""
+    f64 = lambda a: np.asarray(a, np.float64)
+    T = mel.shape[0]
+    B = cfg.branch_dim
+    x = relu(_conv_reflect_ref(np.asarray(mel, np.float64), f64(p.conv0_w), f64(p.conv0_b)))
+
+    outputs = []
+    for blk, dilation in zip(p.blocks, cfg.dilations):
+        residual = x
+        x = relu(_conv_reflect_ref(x, f64(blk.tdnn1_w), f64(blk.tdnn1_b)))
+        branches = [x[:, i * B:(i + 1) * B] for i in range(cfg.res2net_scale)]
+        outs = [branches[0]]
+        for i in range(1, cfg.res2net_scale):
+            inp = branches[i] if i == 1 else branches[i] + outs[-1]
+            outs.append(relu(_conv_reflect_ref(inp, f64(blk.res2net_w[i - 1]),
+                                               f64(blk.res2net_b[i - 1]), dilation)))
+        x = np.concatenate(outs, axis=-1)
+        x = relu(_conv_reflect_ref(x, f64(blk.tdnn2_w), f64(blk.tdnn2_b)))
+        se = x.mean(axis=0)
+        se = relu(se @ f64(blk.se1_w)[0] + f64(blk.se1_b))
+        se = 1.0 / (1.0 + np.exp(-(se @ f64(blk.se2_w)[0] + f64(blk.se2_b))))
+        x = x * se[None, :] + residual
+        outputs.append(x)
+
+    x = np.concatenate(outputs, axis=-1)
+    x = relu(_conv_reflect_ref(x, f64(p.mfa_w), f64(p.mfa_b)))
+
+    gmean = x.mean(axis=0)
+    gvar = np.clip((x * x).mean(axis=0) - gmean ** 2, 1e-12, 1e10)
+    gstd = np.sqrt(gvar)
+    att_in = np.concatenate([x, np.tile(gmean, (T, 1)), np.tile(gstd, (T, 1))], axis=-1)
+    att = relu(att_in @ f64(p.asp_tdnn_w)[0] + f64(p.asp_tdnn_b))
+    att = np.tanh(att)
+    att = att @ f64(p.asp_conv_w)[0] + f64(p.asp_conv_b)
+    att = att - att.max(axis=0, keepdims=True)
+    att = np.exp(att)
+    att = att / att.sum(axis=0, keepdims=True)
+
+    wmean = (att * x).sum(axis=0)
+    wvar = np.clip((att * (x - wmean) ** 2).sum(axis=0), 1e-12, 1e10)
+    wstd = np.sqrt(wvar)
+    pooled = np.concatenate([wmean, wstd])
+    return pooled @ f64(p.fc_w)[0] + f64(p.fc_b)

@@ -1,0 +1,139 @@
+"""End-to-end pipeline + tokenizer + WAV + CLI smoke tests (tiny config)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from qwen3tts_tpu.config import tiny_pipeline_config, SamplingConfig
+from qwen3tts_tpu.pipeline import Qwen3TTS
+from qwen3tts_tpu.audio.wav import load_wav, save_wav, resample_linear
+from qwen3tts_tpu.text.bpe import TextTokenizer, synthetic_tokenizer, bytes_to_unicode
+
+
+@pytest.fixture(scope="module")
+def tts():
+    t = Qwen3TTS(tiny_pipeline_config())
+    assert t.load_models(synthetic=True, seed=3)
+    return t
+
+
+def test_tokenizer_template_structure():
+    tok = synthetic_tokenizer()
+    ids = tok.encode_for_tts("Hello.")
+    # <|im_start|> assistant \n ... <|im_end|> \n <|im_start|> assistant \n
+    assert ids[0] == tok.bos_token_id
+    assert ids[1] == tok.assistant_token_id
+    assert ids[2] == tok.newline_token_id
+    assert ids[-5:] == [tok.eos_token_id, tok.newline_token_id,
+                        tok.bos_token_id, tok.assistant_token_id, tok.newline_token_id]
+    # synthetic merges build "Hello" as a single merged token + "."
+    body = ids[3:-5]
+    assert len(body) == 2
+    assert tok.decode(body) == "Hello."
+
+
+def test_tokenizer_exact_reference_ids_with_real_vocab_slots():
+    """Reconstructs the minimal real-vocab slice needed for the canonical
+    expectation of tests/test_tokenizer.cpp:13-15: 'Hello.' ->
+    [151644, 77091, 198, 9707, 13, 151645, 198, 151644, 77091, 198]."""
+    uni = bytes_to_unicode()
+    vocab = {uni[b]: b + 1000 for b in range(256)}  # bytes parked away from target ids
+    vocab[uni[ord(".")]] = 13
+    merges = [("H", "e"), ("l", "l"), ("He", "ll"), ("Hell", "o")]
+    vocab["He"] = 2000
+    vocab["ll"] = 2001
+    vocab["Hell"] = 2002
+    vocab["Hello"] = 9707
+    vocab["<|im_start|>"] = 151644
+    vocab["<|im_end|>"] = 151645
+    vocab["assistant"] = 77091
+    vocab[uni[ord("\n")]] = 198
+    tok = TextTokenizer(vocab, merges)
+    assert tok.encode_for_tts("Hello.") == [151644, 77091, 198, 9707, 13, 151645, 198,
+                                            151644, 77091, 198]
+    assert tok.decode([9707, 13]) == "Hello."
+
+
+def test_wav_roundtrip(tmp_path):
+    path = os.path.join(tmp_path, "t.wav")
+    audio = np.sin(np.linspace(0, 100, 2400)).astype(np.float32) * 0.5
+    save_wav(path, audio, 24000)
+    loaded, sr = load_wav(path)
+    assert sr == 24000
+    np.testing.assert_allclose(loaded, audio, atol=1e-4)
+
+
+def test_resample_halves_length():
+    x = np.sin(np.linspace(0, 50, 4800)).astype(np.float32)
+    y = resample_linear(x, 48000, 24000)
+    assert abs(len(y) - 2400) <= 1
+    z = resample_linear(x, 24000, 24000)
+    assert z is not x or len(z) == len(x)
+
+
+def test_synthesize_end_to_end(tts):
+    params = SamplingConfig(temperature=0.0, top_k=0, max_audio_tokens=8)
+    result = tts.synthesize("Hello.", params)
+    assert result.success, result.error_msg
+    assert result.n_frames > 0
+    assert len(result.audio) == result.n_frames * 1920
+    assert result.sample_rate == 24000
+    assert np.abs(result.audio).max() <= 1.0
+    assert result.timings.t_generate_ms > 0 and result.timings.t_decode_ms > 0
+
+
+def test_synthesize_with_voice_end_to_end(tts):
+    params = SamplingConfig(temperature=0.0, top_k=0, max_audio_tokens=8)
+    rng = np.random.default_rng(0)
+    ref = (rng.normal(size=600) * 0.1).astype(np.float32)
+    result = tts.synthesize_with_voice("Hello.", ref, params)
+    assert result.success, result.error_msg
+    assert result.n_frames > 0
+    # the speaker embedding must actually change the output vs default voice
+    base = tts.synthesize("Hello.", params)
+    assert (result.n_frames != base.n_frames
+            or not np.array_equal(result.codes, base.codes))
+
+
+def test_progress_callback_fires(tts):
+    seen = []
+    tts.set_progress_callback(lambda f, total: seen.append((f, total)))
+    try:
+        result = tts.synthesize("Hi.", SamplingConfig(temperature=0.0, top_k=0, max_audio_tokens=8))
+    finally:
+        tts.set_progress_callback(None)
+    assert result.success
+    assert len(seen) >= result.n_frames
+
+
+def test_streaming_vocoder_matches_full(tts):
+    params = SamplingConfig(temperature=0.0, top_k=0, max_audio_tokens=16)
+    result = tts.synthesize("Hello there.", params)
+    assert result.success and result.n_frames >= 4
+    full = tts.decode_codes(result.codes)
+    # With history covering the whole past, chunked decode must equal the
+    # full decode (validates seam indexing exactly). Truncated history is a
+    # quality/latency trade-off that only makes sense with real weights —
+    # random weights give the causal attention no locality to exploit.
+    chunks = list(tts.stream_decode_chunks(result.codes, chunk=4,
+                                           history=result.n_frames))
+    streamed = np.concatenate(chunks)
+    assert streamed.shape == full.shape
+    err = np.abs(streamed - full).max()
+    assert err < 1e-3, f"streaming seam error {err}"
+    # truncated history still produces the right shape
+    short = np.concatenate(list(tts.stream_decode_chunks(result.codes, chunk=4, history=4)))
+    assert short.shape == full.shape
+
+
+def test_cli_synthetic(tmp_path):
+    from qwen3tts_tpu import cli
+    out = os.path.join(tmp_path, "cli.wav")
+    # tiny config isn't wired through the CLI; use the real-config CLI on the
+    # smallest buckets but cap frames to keep CPU time sane -> skip on CPU.
+    # Here we only check the parser surface.
+    p = cli.build_parser()
+    args = p.parse_args(["-t", "hi", "-o", out, "--temperature", "0", "--top-k", "3",
+                         "--max-tokens", "4", "--synthetic", "-l", "en"])
+    assert args.synthetic and args.temperature == 0.0 and args.top_k == 3
