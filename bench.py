@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Benchmark: full 0.6B Qwen3-TTS synthesis on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "audio_rtf", "value": <audio_sec/wall_sec>, "unit": ..., "vs_baseline": ...}
+
+Baseline (BASELINE.md): the reference engine sustains 3.2 codec frames/s on
+Apple silicon => audio RTF 3.2 * 1920 / 24000 = 0.256 (and 1.94x slower than
+real-time on CPU). North star: >10x real time (>=125 frames/s).
+
+Weights are deterministic synthetic at the exact 0.6B configuration — FLOP and
+memory-traffic identical to the real checkpoint, so throughput is
+representative (no checkpoint files ship with this environment).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FRAMES_PER_S = 3.2  # README.md:276-295 (92-frame run, Apple silicon)
+
+
+def main() -> None:
+    from qwen3tts_tpu.config import PipelineConfig
+    from qwen3tts_tpu.models import code_predictor as cp_model
+    from qwen3tts_tpu.models import talker as talker_model
+    from qwen3tts_tpu.models import vocoder as vocoder_model
+    from qwen3tts_tpu.runtime import decode_loop
+
+    cfg = PipelineConfig()
+    tcfg, ccfg, vcfg = cfg.talker, cfg.code_predictor, cfg.vocoder
+    spf = vcfg.samples_per_frame
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    t0 = time.perf_counter()
+    tp = talker_model.init_talker_params(k1, tcfg, jnp.bfloat16)
+    cp = cp_model.init_code_predictor_params(k2, ccfg, jnp.bfloat16)
+    vp = vocoder_model.init_vocoder_params(k3, vcfg, jnp.bfloat16)
+    jax.block_until_ready((tp, cp, vp))
+    print(f"param init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    N_FRAMES = 256
+    TTFA_FRAMES = 16
+    Tb = 64
+    rng = np.random.default_rng(0)
+    tokens = np.zeros((Tb,), np.int32)
+    tokens[:32] = rng.integers(2, 150000, size=32)
+    speaker = jnp.zeros((tcfg.hidden_size,), jnp.float32)
+
+    def run_generate(max_frames, seed):
+        return decode_loop.generate_from_tokens(
+            tp, cp, jnp.asarray(tokens), jnp.int32(32), speaker, jnp.int32(2050),
+            jax.random.PRNGKey(seed),
+            talker_cfg=tcfg, cp_cfg=ccfg,
+            max_frames=max_frames, kv_capacity=10 + max_frames + 8,
+            temperature=0.9, top_k=50, repetition_penalty=1.05,
+            allow_eos=False)
+
+    def run_vocoder(codes, n):
+        return vocoder_model.vocoder_decode(vp, vcfg, codes, jnp.int32(n))
+
+    # --- compile ---
+    t0 = time.perf_counter()
+    g = run_generate(N_FRAMES, 0)
+    jax.block_until_ready(g.codes)
+    print(f"generate compile+run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    a = run_vocoder(g.codes, N_FRAMES)
+    jax.block_until_ready(a)
+    print(f"vocoder compile+run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    gt = run_generate(TTFA_FRAMES, 0)
+    at = run_vocoder(gt.codes[:TTFA_FRAMES], TTFA_FRAMES)
+    jax.block_until_ready((gt.codes, at))
+
+    # --- timed: generation throughput ---
+    t0 = time.perf_counter()
+    g = run_generate(N_FRAMES, 1)
+    jax.block_until_ready(g.codes)
+    t_gen = time.perf_counter() - t0
+    n_frames = int(g.n_frames)
+    frames_per_s = n_frames / t_gen
+
+    # --- timed: vocoder ---
+    t0 = time.perf_counter()
+    a = run_vocoder(g.codes, n_frames)
+    jax.block_until_ready(a)
+    t_voc = time.perf_counter() - t0
+
+    audio_sec = n_frames * spf / vcfg.sample_rate
+    rtf = audio_sec / (t_gen + t_voc)
+
+    # --- timed: p50 time-to-first-audio (prefill + 16 frames + first chunk) ---
+    ttfas = []
+    for seed in range(5):
+        t0 = time.perf_counter()
+        gt = run_generate(TTFA_FRAMES, seed)
+        at = run_vocoder(gt.codes[:TTFA_FRAMES], TTFA_FRAMES)
+        jax.block_until_ready(at)
+        ttfas.append(time.perf_counter() - t0)
+    ttfa_p50 = float(np.median(ttfas))
+
+    result = {
+        "metric": "audio_rtf",
+        "value": round(rtf, 3),
+        "unit": "audio_sec/wall_sec",
+        "vs_baseline": round(rtf / (BASELINE_FRAMES_PER_S * spf / vcfg.sample_rate), 2),
+        "frames_per_s": round(frames_per_s, 1),
+        "gen_ms_per_frame": round(1e3 * t_gen / n_frames, 2),
+        "vocoder_xrt": round(audio_sec / t_voc, 1),
+        "ttfa_p50_ms": round(ttfa_p50 * 1e3, 1),
+        "n_frames": n_frames,
+        "device": str(dev),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Named-axis parameter shardings (tensor parallelism over "tp").
+
+Partitioning policy for the Qwen3-style stacks, chosen so GSPMD's inserted
+collectives ride ICI (SURVEY.md §5 "distributed communication backend"):
+
+- q/k/v projections: shard the output (head) dim  -> no comm at apply
+- o projection:      shard the input (head) dim   -> one all-reduce per block
+- FFN gate/up:       shard the intermediate dim   -> no comm
+- FFN down:          shard the intermediate (in) dim -> one all-reduce
+- codec/LM heads:    shard the vocab dim          -> logits all-gather
+- embeddings, norms: replicated
+
+KV caches inherit head-dim sharding from k/v producers. The talker's 8 KV
+heads bound useful tp at 8 (matching a v5e ICI ring).
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.code_predictor import CodePredictorParams
+from ..models.talker import TalkerParams
+from ..models.transformer_core import BlockParams
+
+
+def block_specs() -> BlockParams:
+    return BlockParams(
+        attn_norm=P(),
+        wq=P(None, None, "tp"),
+        wk=P(None, None, "tp"),
+        wv=P(None, None, "tp"),
+        wo=P(None, "tp", None),
+        q_norm=P(),
+        k_norm=P(),
+        ffn_norm=P(),
+        w_gate=P(None, None, "tp"),
+        w_up=P(None, None, "tp"),
+        w_down=P(None, "tp", None),
+    )
+
+
+def talker_specs() -> TalkerParams:
+    return TalkerParams(
+        text_embd=P(),
+        text_proj_fc1_w=P(None, "tp"),
+        text_proj_fc1_b=P("tp"),
+        text_proj_fc2_w=P("tp", None),
+        text_proj_fc2_b=P(),
+        codec_embd=P(),
+        blocks=block_specs(),
+        output_norm=P(),
+        codec_head=P(None, "tp"),
+    )
+
+
+def code_predictor_specs() -> CodePredictorParams:
+    return CodePredictorParams(
+        blocks=block_specs(),
+        output_norm=P(),
+        embds=P(),
+        heads=P(None, None, "tp"),
+    )
+
+
+def shard_params(params, specs, mesh: Mesh):
+    """device_put every leaf with its NamedSharding."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+def data_spec() -> P:
+    """Batched per-utterance tensors shard their leading axis over dp."""
+    return P("dp")

@@ -69,6 +69,7 @@ def generate(
     top_p: float = 1.0,
     repetition_penalty: float = 1.05,
     progress_cb=None,
+    allow_eos: bool = True,
 ) -> GenerateResult:
     """Run prefill + the full frame loop. Static args define the compiled
     shape bucket; tensor args vary freely within it.
@@ -106,11 +107,14 @@ def generate(
 
     def body(s: _LoopState) -> _LoopState:
         # --- sample codebook 0 ---
-        l = apply_suppression(s.logits, suppress_start, talker_cfg.codec_eos_id)
+        # allow_eos=False additionally masks EOS (benchmark mode: fixed-length
+        # runs regardless of what random/sampled logits prefer).
+        eos_for_mask = talker_cfg.codec_eos_id if allow_eos else -1
+        l = apply_suppression(s.logits, suppress_start, eos_for_mask)
         l = apply_repetition_penalty(l, s.seen, repetition_penalty)
         key, k_cb0, k_cp = jax.random.split(s.key, 3)
         cb0 = sample_token(k_cb0, l, temperature=temperature, top_k=top_k, top_p=top_p)
-        done = cb0 == talker_cfg.codec_eos_id
+        done = jnp.logical_and(cb0 == talker_cfg.codec_eos_id, allow_eos)
 
         # --- residual codebooks 1..15 ---
         cb0_embd = talker_params.codec_embd[cb0]
@@ -162,7 +166,7 @@ def generate(
     static_argnames=(
         "talker_cfg", "cp_cfg", "max_frames", "kv_capacity",
         "temperature", "top_k", "top_p", "repetition_penalty", "nothink",
-        "progress_cb",
+        "progress_cb", "allow_eos",
     ),
 )
 def generate_from_tokens(
@@ -184,6 +188,7 @@ def generate_from_tokens(
     repetition_penalty: float = 1.05,
     nothink: bool = False,
     progress_cb=None,
+    allow_eos: bool = True,
 ) -> GenerateResult:
     """End-to-end jitted path: prefill-embedding construction + generate."""
     prefill = talker_model.build_prefill(
@@ -193,4 +198,49 @@ def generate_from_tokens(
         talker_params, cp_params, talker_cfg, cp_cfg, prefill, key,
         max_frames=max_frames, kv_capacity=kv_capacity,
         temperature=temperature, top_k=top_k, top_p=top_p,
-        repetition_penalty=repetition_penalty, progress_cb=progress_cb)
+        repetition_penalty=repetition_penalty, progress_cb=progress_cb,
+        allow_eos=allow_eos)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "talker_cfg", "cp_cfg", "max_frames", "kv_capacity",
+        "temperature", "top_k", "top_p", "repetition_penalty", "nothink",
+    ),
+)
+def generate_from_tokens_batched(
+    talker_params,
+    cp_params,
+    tokens: jnp.ndarray,        # [B, Tb]
+    n_tokens: jnp.ndarray,      # [B]
+    speaker_embd: jnp.ndarray,  # [B, H]
+    language_id: jnp.ndarray,   # [B]
+    keys: jax.Array,            # [B] PRNG keys (jax.random.split output)
+    *,
+    talker_cfg: TalkerConfig,
+    cp_cfg: CodePredictorConfig,
+    max_frames: int,
+    kv_capacity: int,
+    temperature: float,
+    top_k: int,
+    top_p: float = 1.0,
+    repetition_penalty: float = 1.05,
+    nothink: bool = False,
+) -> GenerateResult:
+    """Batched multi-utterance generation (BASELINE.json config #5): vmap over
+    the full prefill+frame loop. Under vmap the while_loop runs until every
+    utterance hits EOS or the frame budget; finished lanes mask their
+    emissions. Shard the batch axis over the mesh's "dp" axis and the params
+    over "tp" (parallel/shardings.py) for multi-chip serving."""
+
+    def one(tokens_i, n_i, spk_i, lang_i, key_i):
+        prefill = talker_model.build_prefill(
+            talker_params, talker_cfg, tokens_i, n_i, spk_i, lang_i, nothink=nothink)
+        return generate(
+            talker_params, cp_params, talker_cfg, cp_cfg, prefill, key_i,
+            max_frames=max_frames, kv_capacity=kv_capacity,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            repetition_penalty=repetition_penalty)
+
+    return jax.vmap(one)(tokens, n_tokens, speaker_embd, language_id, keys)
