@@ -93,3 +93,30 @@ class SafetensorsDir:
     def items(self) -> Iterator[Tuple[str, np.ndarray]]:
         for k in self.index:
             yield k, self.tensor(k)
+
+
+_DTYPE_NAMES = {np.dtype(v): k for k, v in _DTYPES.items()}
+
+
+def write_safetensors(path: str, tensors: Dict[str, np.ndarray]) -> None:
+    """Minimal safetensors writer (tests / checkpoint export)."""
+    header = {}
+    offset = 0
+    blobs = []
+    for name, arr in tensors.items():
+        arr = np.ascontiguousarray(arr)
+        if _BF16 is not None and arr.dtype == _BF16:
+            dt = "BF16"
+        else:
+            dt = _DTYPE_NAMES[arr.dtype]
+        blob = arr.tobytes()
+        header[name] = {"dtype": dt, "shape": list(arr.shape),
+                        "data_offsets": [offset, offset + len(blob)]}
+        blobs.append(blob)
+        offset += len(blob)
+    hdr = json.dumps(header).encode("utf-8")
+    with open(path, "wb") as f:
+        f.write(np.uint64(len(hdr)).tobytes())
+        f.write(hdr)
+        for blob in blobs:
+            f.write(blob)

@@ -132,12 +132,53 @@ class Qwen3TTS:
                 tts_dir = d
         return tts_dir, tok_dir
 
+    def _gguf_paths(self):
+        """Reference on-disk convention: <dir>/qwen3-tts-0.6b-f16.gguf +
+        <dir>/qwen3-tts-tokenizer-f16.gguf (qwen3_tts.cpp:118-119)."""
+        if not self._model_dir:
+            return None, None
+        from .io.gguf_checkpoint import find_gguf_models
+        return find_gguf_models(self._model_dir)
+
+    def _open_tts_checkpoint(self):
+        tts_dir, _ = self._paths()
+        if tts_dir is not None:
+            return loader_mod.open_checkpoint_dir(tts_dir)
+        tts_gguf, _ = self._gguf_paths()
+        if tts_gguf is not None:
+            from .io.gguf_checkpoint import GGUFCheckpoint
+            return GGUFCheckpoint(tts_gguf)
+        raise FileNotFoundError(f"no TTS checkpoint (safetensors or gguf) under {self._model_dir}")
+
+    def _open_vocoder_checkpoint(self):
+        _, tok_dir = self._paths()
+        if tok_dir is not None:
+            return loader_mod.open_checkpoint_dir(tok_dir)
+        _, tok_gguf = self._gguf_paths()
+        if tok_gguf is not None:
+            from .io.gguf_checkpoint import GGUFCheckpoint
+            return GGUFCheckpoint(tok_gguf)
+        raise FileNotFoundError(f"no tokenizer/vocoder checkpoint under {self._model_dir}")
+
     def _load_tokenizer(self):
         tts_dir, _ = self._paths()
-        if self._synthetic_seed is not None or tts_dir is None:
+        if self._synthetic_seed is not None:
             self.tokenizer = synthetic_tokenizer(self.config.talker.text_vocab_size)
-        else:
+        elif tts_dir is not None:
             self.tokenizer = TextTokenizer.from_hf_dir(tts_dir)
+        else:
+            tts_gguf, _ = self._gguf_paths()
+            if tts_gguf is None:
+                self.tokenizer = synthetic_tokenizer(self.config.talker.text_vocab_size)
+            else:
+                from .io.gguf import GGUFReader
+                try:
+                    self.tokenizer = TextTokenizer.from_gguf(GGUFReader(tts_gguf))
+                except ValueError:
+                    import sys
+                    print("warning: GGUF file carries no tokenizer vocab; "
+                          "using the embedded synthetic tokenizer", file=sys.stderr)
+                    self.tokenizer = synthetic_tokenizer(self.config.talker.text_vocab_size)
 
     def _load_talker(self):
         cfg = self.config
@@ -147,8 +188,7 @@ class Qwen3TTS:
             self.talker_params = talker_model.init_talker_params(k1, cfg.talker, self.dtype)
             self.cp_params = cp_model.init_code_predictor_params(k2, cfg.code_predictor, self.dtype)
         else:
-            tts_dir, _ = self._paths()
-            st = loader_mod.open_checkpoint_dir(tts_dir)
+            st = self._open_tts_checkpoint()
             self.talker_params = loader_mod.load_talker(st, cfg.talker, self.dtype)
             self.cp_params = loader_mod.load_code_predictor(st, cfg.code_predictor, self.dtype)
 
@@ -158,10 +198,7 @@ class Qwen3TTS:
             self.vocoder_params = vocoder_model.init_vocoder_params(
                 jax.random.PRNGKey(self._synthetic_seed + 1), cfg.vocoder, jnp.float32)
         else:
-            _, tok_dir = self._paths()
-            if tok_dir is None:
-                raise FileNotFoundError("tokenizer (vocoder) checkpoint dir not found")
-            st = loader_mod.open_checkpoint_dir(tok_dir)
+            st = self._open_vocoder_checkpoint()
             self.vocoder_params = loader_mod.load_vocoder(st, cfg.vocoder, jnp.float32)
 
     def _load_speaker_encoder(self):
@@ -170,8 +207,7 @@ class Qwen3TTS:
             self.speaker_params = se_model.init_speaker_encoder_params(
                 jax.random.PRNGKey(self._synthetic_seed + 2), cfg.speaker_encoder, jnp.float32)
         else:
-            tts_dir, _ = self._paths()
-            st = loader_mod.open_checkpoint_dir(tts_dir)
+            st = self._open_tts_checkpoint()
             self.speaker_params = loader_mod.load_speaker_encoder(st, cfg.speaker_encoder, jnp.float32)
         self._mel_fb = jnp.asarray(mel_mod.slaney_mel_filterbank(cfg.speaker_encoder))
         self._mel_win = jnp.asarray(mel_mod.centered_hann(cfg.speaker_encoder))

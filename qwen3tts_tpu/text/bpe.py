@@ -110,6 +110,29 @@ class TextTokenizer:
             raise FileNotFoundError(f"no vocab.json or tokenizer.json under {model_dir}")
         return cls(vocab, merges, **kw)
 
+    @classmethod
+    def from_gguf(cls, reader, **kw) -> "TextTokenizer":
+        """Load vocab/merges embedded in a GGUF file's metadata
+        (tokenizer.ggml.tokens / tokenizer.ggml.merges, the reference's
+        format: src/text_tokenizer.cpp:80-165)."""
+        tokens = reader.metadata.get("tokenizer.ggml.tokens")
+        if not tokens:
+            raise ValueError("GGUF file carries no tokenizer vocabulary")
+        vocab = {t: i for i, t in enumerate(tokens)}
+        merges = []
+        for m in reader.metadata.get("tokenizer.ggml.merges", []):
+            a, _, b = m.partition(" ")
+            if b:
+                merges.append((a, b))
+        tok = cls(vocab, merges, **kw)
+        eos = reader.metadata.get("tokenizer.ggml.eos_token_id")
+        if eos is not None:
+            tok.eos_token_id = int(eos)
+        pad = reader.metadata.get("tokenizer.ggml.padding_token_id")
+        if pad is not None:
+            tok.pad_token_id = int(pad)
+        return tok
+
     # -- BPE ----------------------------------------------------------------
 
     def _bpe(self, token: str) -> List[str]:
