@@ -39,13 +39,15 @@ def main() -> None:
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
-    key = jax.random.PRNGKey(0)
-    k1, k2, k3 = jax.random.split(key, 3)
+    @jax.jit
+    def init_all():
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+        return (talker_model.init_talker_params(k1, tcfg, jnp.bfloat16),
+                cp_model.init_code_predictor_params(k2, ccfg, jnp.bfloat16),
+                vocoder_model.init_vocoder_params(k3, vcfg, jnp.bfloat16))
+
     t0 = time.perf_counter()
-    tp = talker_model.init_talker_params(k1, tcfg, jnp.bfloat16)
-    cp = cp_model.init_code_predictor_params(k2, ccfg, jnp.bfloat16)
-    vp = vocoder_model.init_vocoder_params(k3, vcfg, jnp.bfloat16)
-    jax.block_until_ready((tp, cp, vp))
+    tp, cp, vp = jax.block_until_ready(init_all())
     print(f"param init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     N_FRAMES = 256

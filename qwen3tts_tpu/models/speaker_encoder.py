@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..config import SpeakerEncoderConfig
 
-NEG_INF = jnp.float32(-1e30)
+NEG_INF = -1e30  # plain float: no device allocation at import time
 
 
 class SEResBlockParams(NamedTuple):

@@ -36,7 +36,7 @@ from ..config import VocoderConfig
 from ..ops.norms import layer_norm, rms_norm
 from ..ops.rope import apply_rope, rope_for_positions
 
-NEG_INF = jnp.float32(-1e30)
+NEG_INF = -1e30  # plain float: no device allocation at import time
 
 
 # ---------------------------------------------------------------------------

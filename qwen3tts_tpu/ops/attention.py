@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-1e30)
+NEG_INF = -1e30  # plain float: no device allocation at import time
 
 
 def prefill_attention(
