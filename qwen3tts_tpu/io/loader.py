@@ -65,17 +65,24 @@ def _stack_blocks(get, prefix: str, n_layers: int, dtype) -> BlockParams:
     def stack(fmt, f):
         return jnp.stack([f(get, fmt.format(prefix=prefix, i=i), dtype) for i in range(n_layers)])
 
+    def fused(fmts):
+        rows = []
+        for i in range(n_layers):
+            parts = [np.asarray(get(f.format(prefix=prefix, i=i))).T for f in fmts]
+            rows.append(np.concatenate(parts, axis=1))
+        return jnp.asarray(np.stack(rows), dtype)
+
     return BlockParams(
         attn_norm=stack("{prefix}.layers.{i}.input_layernorm.weight", _vec),
-        wq=stack("{prefix}.layers.{i}.self_attn.q_proj.weight", _lin),
-        wk=stack("{prefix}.layers.{i}.self_attn.k_proj.weight", _lin),
-        wv=stack("{prefix}.layers.{i}.self_attn.v_proj.weight", _lin),
+        wqkv=fused(["{prefix}.layers.{i}.self_attn.q_proj.weight",
+                    "{prefix}.layers.{i}.self_attn.k_proj.weight",
+                    "{prefix}.layers.{i}.self_attn.v_proj.weight"]),
         wo=stack("{prefix}.layers.{i}.self_attn.o_proj.weight", _lin),
         q_norm=stack("{prefix}.layers.{i}.self_attn.q_norm.weight", _vec),
         k_norm=stack("{prefix}.layers.{i}.self_attn.k_norm.weight", _vec),
         ffn_norm=stack("{prefix}.layers.{i}.post_attention_layernorm.weight", _vec),
-        w_gate=stack("{prefix}.layers.{i}.mlp.gate_proj.weight", _lin),
-        w_up=stack("{prefix}.layers.{i}.mlp.up_proj.weight", _lin),
+        w_gateup=fused(["{prefix}.layers.{i}.mlp.gate_proj.weight",
+                        "{prefix}.layers.{i}.mlp.up_proj.weight"]),
         w_down=stack("{prefix}.layers.{i}.mlp.down_proj.weight", _lin),
     )
 

@@ -27,18 +27,22 @@ from ..ops.rope import apply_rope, rope_for_positions
 
 
 class BlockParams(NamedTuple):
-    """Stacked decoder-block parameters; every leaf has leading axis L."""
+    """Stacked decoder-block parameters; every leaf has leading axis L.
+
+    q/k/v and gate/up projections are FUSED along the output dim: the decode
+    loop is dominated by many small GEMVs, and one [H, (Hq+2*Hkv)*D] matmul
+    streams weights from HBM far better than three (and removes per-op
+    dispatch). The loader concatenates the HF tensors at load time; accessor
+    properties recover the individual views for tests/tools.
+    """
 
     attn_norm: jnp.ndarray   # [L, H]
-    wq: jnp.ndarray          # [L, H, Hq*D]
-    wk: jnp.ndarray          # [L, H, Hkv*D]
-    wv: jnp.ndarray          # [L, H, Hkv*D]
+    wqkv: jnp.ndarray        # [L, H, (Hq + 2*Hkv) * D]
     wo: jnp.ndarray          # [L, Hq*D, H]
     q_norm: jnp.ndarray      # [L, D]
     k_norm: jnp.ndarray      # [L, D]
     ffn_norm: jnp.ndarray    # [L, H]
-    w_gate: jnp.ndarray      # [L, H, F]
-    w_up: jnp.ndarray        # [L, H, F]
+    w_gateup: jnp.ndarray    # [L, H, 2*F]
     w_down: jnp.ndarray      # [L, F, H]
 
 
@@ -61,15 +65,12 @@ def init_block_params(key: jax.Array, cfg: CoreConfig, hidden: int, ffn: int, dt
 
     return BlockParams(
         attn_norm=jnp.ones((L, hidden), dtype),
-        wq=w(ks[0], (L, hidden, Hq * D), hidden),
-        wk=w(ks[1], (L, hidden, Hkv * D), hidden),
-        wv=w(ks[2], (L, hidden, Hkv * D), hidden),
+        wqkv=w(ks[0], (L, hidden, (Hq + 2 * Hkv) * D), hidden),
         wo=w(ks[3], (L, Hq * D, hidden), Hq * D),
         q_norm=jnp.ones((L, D), dtype),
         k_norm=jnp.ones((L, D), dtype),
         ffn_norm=jnp.ones((L, hidden), dtype),
-        w_gate=w(ks[4], (L, hidden, ffn), hidden),
-        w_up=w(ks[5], (L, hidden, ffn), hidden),
+        w_gateup=w(ks[4], (L, hidden, 2 * ffn), hidden),
         w_down=w(ks[6], (L, ffn, hidden), ffn),
     )
 
@@ -81,9 +82,10 @@ def _layer(params, cfg: CoreConfig, x, cos, sin, attend):
     T = x.shape[0]
 
     h = rms_norm(x, params.attn_norm, cfg.rms_norm_eps)
-    q = (h @ params.wq).reshape(T, Hq, D)
-    k = (h @ params.wk).reshape(T, Hkv, D)
-    v = (h @ params.wv).reshape(T, Hkv, D)
+    qkv = h @ params.wqkv
+    q = qkv[:, : Hq * D].reshape(T, Hq, D)
+    k = qkv[:, Hq * D: (Hq + Hkv) * D].reshape(T, Hkv, D)
+    v = qkv[:, (Hq + Hkv) * D:].reshape(T, Hkv, D)
     q = rms_norm(q, params.q_norm, cfg.rms_norm_eps)
     k = rms_norm(k, params.k_norm, cfg.rms_norm_eps)
     q = apply_rope(q, cos, sin)
@@ -93,8 +95,10 @@ def _layer(params, cfg: CoreConfig, x, cos, sin, attend):
     x = x + (o.reshape(T, Hq * D) @ params.wo)
 
     h = rms_norm(x, params.ffn_norm, cfg.rms_norm_eps)
-    gate = jax.nn.silu((h @ params.w_gate).astype(jnp.float32)).astype(h.dtype)
-    x = x + ((gate * (h @ params.w_up)) @ params.w_down)
+    F = params.w_down.shape[0]
+    gateup = h @ params.w_gateup
+    gate = jax.nn.silu(gateup[:, :F].astype(jnp.float32)).astype(h.dtype)
+    x = x + ((gate * gateup[:, F:]) @ params.w_down)
     return x, kv_out
 
 

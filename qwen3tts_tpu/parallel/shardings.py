@@ -25,17 +25,18 @@ from ..models.transformer_core import BlockParams
 
 
 def block_specs() -> BlockParams:
+    # NB: wqkv/w_gateup are fused along the output axis; sharding that axis
+    # over tp splits q/k/v (gate/up) unevenly across shards, and GSPMD inserts
+    # the reshards needed by the post-matmul slices. Correctness is covered by
+    # tests/test_parallel.py; dp remains the primary throughput axis at 0.6B.
     return BlockParams(
         attn_norm=P(),
-        wq=P(None, None, "tp"),
-        wk=P(None, None, "tp"),
-        wv=P(None, None, "tp"),
+        wqkv=P(None, None, "tp"),
         wo=P(None, "tp", None),
         q_norm=P(),
         k_norm=P(),
         ffn_norm=P(),
-        w_gate=P(None, None, "tp"),
-        w_up=P(None, None, "tp"),
+        w_gateup=P(None, None, "tp"),
         w_down=P(None, "tp", None),
     )
 

@@ -60,9 +60,11 @@ def block_forward(x, bp, li, n_heads, n_kv_heads, head_dim, eps, theta, position
     with the same [in, out] weight convention as the JAX side."""
     T = x.shape[0]
     h = rms_norm(x, np.asarray(bp.attn_norm[li], np.float64), eps)
-    q = (h @ np.asarray(bp.wq[li], np.float64)).reshape(T, n_heads, head_dim)
-    k = (h @ np.asarray(bp.wk[li], np.float64)).reshape(T, n_kv_heads, head_dim)
-    v = (h @ np.asarray(bp.wv[li], np.float64)).reshape(T, n_kv_heads, head_dim)
+    wqkv = np.asarray(bp.wqkv[li], np.float64)
+    nq, nk = n_heads * head_dim, n_kv_heads * head_dim
+    q = (h @ wqkv[:, :nq]).reshape(T, n_heads, head_dim)
+    k = (h @ wqkv[:, nq:nq + nk]).reshape(T, n_kv_heads, head_dim)
+    v = (h @ wqkv[:, nq + nk:]).reshape(T, n_kv_heads, head_dim)
     q = rms_norm(q, np.asarray(bp.q_norm[li], np.float64), eps)
     k = rms_norm(k, np.asarray(bp.k_norm[li], np.float64), eps)
     q = neox_rope(q, positions, theta)
@@ -70,9 +72,9 @@ def block_forward(x, bp, li, n_heads, n_kv_heads, head_dim, eps, theta, position
     o = causal_attention(q, k, v, n_kv_heads).reshape(T, n_heads * head_dim)
     x = x + o @ np.asarray(bp.wo[li], np.float64)
     h = rms_norm(x, np.asarray(bp.ffn_norm[li], np.float64), eps)
-    gate = silu(h @ np.asarray(bp.w_gate[li], np.float64))
-    up = h @ np.asarray(bp.w_up[li], np.float64)
-    x = x + (gate * up) @ np.asarray(bp.w_down[li], np.float64)
+    gateup = h @ np.asarray(bp.w_gateup[li], np.float64)
+    F = bp.w_down[li].shape[0]
+    x = x + (silu(gateup[:, :F]) * gateup[:, F:]) @ np.asarray(bp.w_down[li], np.float64)
     return x
 
 

@@ -55,10 +55,11 @@ def test_hf_loader_shapes_and_transposes(hf_dirs):
     ref = T.init_talker_params(jax.random.PRNGKey(0), CFG.talker, jnp.float32)
     for got, want in zip(jax.tree.leaves(params), jax.tree.leaves(ref)):
         assert got.shape == want.shape, f"{got.shape} != {want.shape}"
-    # transposition: wq stored [in, out] == HF [out, in].T
+    # transposition: fused wqkv's q slab == HF q_proj [out, in].T
     hf = hf_fixture.make_tts_checkpoint(CFG)
+    nq = CFG.talker.n_heads * CFG.talker.head_dim
     np.testing.assert_allclose(
-        np.asarray(params.blocks.wq[1]),
+        np.asarray(params.blocks.wqkv[1][:, :nq]),
         hf["talker.model.layers.1.self_attn.q_proj.weight"].T, rtol=1e-6)
 
     vparams = loader_mod.load_vocoder(loader_mod.open_checkpoint_dir(tok_dir), CFG.vocoder, jnp.float32)
@@ -154,8 +155,8 @@ def test_convert_and_load_gguf_checkpoint(hf_dirs, tmp_path):
     tts_q8 = os.path.join(tmp_path, "qwen3-tts-tiny-q8_0.gguf")
     conv.convert(tts_dir, tts_q8, "q8_0", "tts")
     got_q = loader_mod.load_talker(GGUFCheckpoint(tts_q8), CFG.talker, jnp.float32)
-    scale = float(np.abs(np.asarray(want_t.blocks.wq)).max())
-    assert np.abs(np.asarray(got_q.blocks.wq) - np.asarray(want_t.blocks.wq)).max() < 0.02 * scale + 1e-3
+    scale = float(np.abs(np.asarray(want_t.blocks.wqkv)).max())
+    assert np.abs(np.asarray(got_q.blocks.wqkv) - np.asarray(want_t.blocks.wqkv)).max() < 0.02 * scale + 1e-3
 
 
 def test_pipeline_loads_gguf_model_dir(hf_dirs, tmp_path):

@@ -90,7 +90,7 @@ def test_tp_sharding_actually_distributes(params):
     tp_params, _ = params
     mesh = mesh_mod.make_mesh(1, 4)
     tps = shardings.shard_params(tp_params, shardings.talker_specs(), mesh)
-    # wq output dim is split 4 ways
-    shard_shapes = {s.data.shape for s in tps.blocks.wq.addressable_shards}
-    L, H, O = tp_params.blocks.wq.shape
+    # fused qkv output dim is split 4 ways
+    shard_shapes = {s.data.shape for s in tps.blocks.wqkv.addressable_shards}
+    L, H, O = tp_params.blocks.wqkv.shape
     assert shard_shapes == {(L, H, O // 4)}
