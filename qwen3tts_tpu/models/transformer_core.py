@@ -154,7 +154,7 @@ def forward_step(
         def attend(q, k, v):
             k_cache = lax.dynamic_update_slice(kv_l[0], k.astype(kv_l.dtype), (n_past, 0, 0))
             v_cache = lax.dynamic_update_slice(kv_l[1], v.astype(kv_l.dtype), (n_past, 0, 0))
-            o = attn_ops.decode_attention(q[0], k_cache, v_cache, n_past + 1)
+            o = attn_ops.decode_attention_auto(q[0], k_cache, v_cache, n_past + 1)
             return o[None], jnp.stack([k_cache, v_cache])
 
         x2, kv_l_new = _layer(params_l, cfg, x[None], cos, sin, attend)

@@ -50,6 +50,24 @@ def prefill_attention(
     return out.reshape(P, Hq, D)
 
 
+def decode_attention_auto(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    n_valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """Dispatch decode attention: the Pallas fused kernel on TPU when shapes
+    qualify (cache capacity and head_dim multiples of 128), the XLA einsum
+    path otherwise (CPU tests, tiny configs, QWEN3TTS_NO_PALLAS=1)."""
+    from .pallas_attention import DEFAULT_BLOCK, decode_attention_pallas, use_pallas_decode
+
+    C, Hkv, D = k_cache.shape
+    if (use_pallas_decode() and C % DEFAULT_BLOCK == 0 and D % 128 == 0
+            and q.shape[0] % Hkv == 0):
+        return decode_attention_pallas(q, k_cache, v_cache, n_valid)
+    return decode_attention(q, k_cache, v_cache, n_valid)
+
+
 def decode_attention(
     q: jnp.ndarray,        # [Hq, D]
     k_cache: jnp.ndarray,  # [C, Hkv, D]

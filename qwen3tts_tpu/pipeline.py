@@ -301,7 +301,8 @@ class Qwen3TTS:
         padded = np.zeros((Tb,), np.int32)
         padded[: len(tokens)] = tokens
         max_frames = pick_bucket(params.max_audio_tokens, rt.frame_buckets)
-        kv_capacity = 10 + max_frames + rt.kv_margin
+        # round capacity up to the Pallas attention block size (128)
+        kv_capacity = -(-(10 + max_frames + rt.kv_margin) // 128) * 128
 
         progress_cb = None
         if self.progress_callback is not None:
