@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops import attention as attn_ops
+from ..ops.quantized_matmul import matmul as _mm
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, rope_for_positions
 
@@ -82,7 +83,7 @@ def _layer(params, cfg: CoreConfig, x, cos, sin, attend):
     T = x.shape[0]
 
     h = rms_norm(x, params.attn_norm, cfg.rms_norm_eps)
-    qkv = h @ params.wqkv
+    qkv = _mm(h, params.wqkv)
     q = qkv[:, : Hq * D].reshape(T, Hq, D)
     k = qkv[:, Hq * D: (Hq + Hkv) * D].reshape(T, Hkv, D)
     v = qkv[:, (Hq + Hkv) * D:].reshape(T, Hkv, D)
@@ -92,13 +93,13 @@ def _layer(params, cfg: CoreConfig, x, cos, sin, attend):
     k = apply_rope(k, cos, sin)
 
     o, kv_out = attend(q, k, v)
-    x = x + (o.reshape(T, Hq * D) @ params.wo)
+    x = x + _mm(o.reshape(T, Hq * D), params.wo)
 
     h = rms_norm(x, params.ffn_norm, cfg.rms_norm_eps)
-    F = params.w_down.shape[0]
-    gateup = h @ params.w_gateup
+    F = (params.w_down.q if hasattr(params.w_down, "q") else params.w_down).shape[-2]
+    gateup = _mm(h, params.w_gateup)
     gate = jax.nn.silu(gateup[:, :F].astype(jnp.float32)).astype(h.dtype)
-    x = x + ((gate * gateup[:, F:]) @ params.w_down)
+    x = x + _mm(gate * gateup[:, F:], params.w_down)
     return x, kv_out
 
 

@@ -65,9 +65,21 @@ def code_predictor_specs() -> CodePredictorParams:
 
 
 def shard_params(params, specs, mesh: Mesh):
-    """device_put every leaf with its NamedSharding."""
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+    """device_put every leaf with its NamedSharding. int8-quantized weights
+    (ops.quantized_matmul.QuantLinear) apply the matrix spec to both the int8
+    values and the per-channel scales (same rank)."""
+    from ..ops.quantized_matmul import QuantLinear
+
+    def put(x, s):
+        if isinstance(x, QuantLinear):
+            return QuantLinear(
+                q=jax.device_put(x.q, NamedSharding(mesh, s)),
+                scale=jax.device_put(x.scale, NamedSharding(mesh, s)),
+            )
+        return jax.device_put(x, NamedSharding(mesh, s))
+
+    return jax.tree.map(put, params, specs,
+                        is_leaf=lambda x: isinstance(x, QuantLinear))
 
 
 def data_spec() -> P:

@@ -191,6 +191,12 @@ class Qwen3TTS:
             st = self._open_tts_checkpoint()
             self.talker_params = loader_mod.load_talker(st, cfg.talker, self.dtype)
             self.cp_params = loader_mod.load_code_predictor(st, cfg.code_predictor, self.dtype)
+        if cfg.runtime.quant == "int8":
+            from .ops.quant import quantize_block_params
+            self.talker_params = self.talker_params._replace(
+                blocks=quantize_block_params(self.talker_params.blocks))
+            self.cp_params = self.cp_params._replace(
+                blocks=quantize_block_params(self.cp_params.blocks))
 
     def _load_vocoder(self):
         cfg = self.config
