@@ -84,9 +84,12 @@ def main() -> None:
     jax.block_until_ready((gt.codes, at))
 
     # --- timed: generation throughput ---
+    # (np.asarray forces a host transfer of the 16KB code array: on some
+    # remote-execution backends block_until_ready alone returns early)
     t0 = time.perf_counter()
     g = run_generate(N_FRAMES, 1)
     jax.block_until_ready(g.codes)
+    codes_host = np.asarray(g.codes)
     t_gen = time.perf_counter() - t0
     n_frames = int(g.n_frames)
     frames_per_s = n_frames / t_gen
@@ -95,6 +98,7 @@ def main() -> None:
     t0 = time.perf_counter()
     a = run_vocoder(g.codes, n_frames)
     jax.block_until_ready(a)
+    _ = np.asarray(a[:8])
     t_voc = time.perf_counter() - t0
 
     audio_sec = n_frames * spf / vcfg.sample_rate
@@ -107,6 +111,7 @@ def main() -> None:
         gt = run_generate(TTFA_FRAMES, seed)
         at = run_vocoder(gt.codes[:TTFA_FRAMES], TTFA_FRAMES)
         jax.block_until_ready(at)
+        _ = np.asarray(at[:8])
         ttfas.append(time.perf_counter() - t0)
     ttfa_p50 = float(np.median(ttfas))
 

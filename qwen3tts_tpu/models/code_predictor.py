@@ -77,7 +77,7 @@ def predict_codes(
 ) -> jnp.ndarray:
     """AR-generate the 15 residual codes for one frame. Returns int32 [15]."""
     ccfg = core_config(cfg)
-    kv = jnp.zeros((cfg.n_layers, 2, cfg.max_ctx, cfg.n_kv_heads, cfg.head_dim), params.embds.dtype)
+    kv = jnp.zeros((cfg.n_layers, 2, cfg.n_kv_heads, cfg.max_ctx, cfg.head_dim), params.embds.dtype)
 
     # --- 2-token prefill at positions 0,1 ---
     x = jnp.stack([talker_hidden, cb0_embd]).astype(params.embds.dtype)

@@ -186,4 +186,4 @@ def talker_step(params: TalkerParams, cfg: TalkerConfig, step_embd: jnp.ndarray,
 
 
 def make_kv_cache(cfg: TalkerConfig, capacity: int, dtype=jnp.bfloat16) -> jnp.ndarray:
-    return jnp.zeros((cfg.n_layers, 2, capacity, cfg.n_kv_heads, cfg.head_dim), dtype)
+    return jnp.zeros((cfg.n_layers, 2, cfg.n_kv_heads, capacity, cfg.head_dim), dtype)

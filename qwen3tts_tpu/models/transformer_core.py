@@ -109,11 +109,14 @@ def forward_prefill(
     x: jnp.ndarray,          # [P, H]
     positions: jnp.ndarray,  # [P] int32
     valid_len,               # scalar: tokens >= valid_len are padding
-    kv: jnp.ndarray,         # [L, 2, C, Hkv, D] preallocated cache
+    kv: jnp.ndarray,         # [L, 2, Hkv, C, D] preallocated head-major cache
     n_past: int | jnp.ndarray = 0,
 ):
     """Run the full stack over a (padded) prefill window, writing K/V into the
-    cache at [n_past, n_past+P). Returns (hidden [P, H] pre-output-norm, kv)."""
+    cache at [n_past, n_past+P). Returns (hidden [P, H] pre-output-norm, kv).
+
+    The cache is head-major [Hkv, C, D]: per-head time-contiguous reads for
+    both the XLA decode einsum and the Pallas kernel's (1, BLOCK, D) tiles."""
     cos, sin = rope_for_positions(positions, cfg.head_dim, cfg.rope_theta)
 
     def scan_fn(carry, layer_in):
@@ -121,8 +124,10 @@ def forward_prefill(
         params_l, kv_l = layer_in
 
         def attend(q, k, v):
-            k_cache = lax.dynamic_update_slice(kv_l[0], k.astype(kv_l.dtype), (n_past, 0, 0))
-            v_cache = lax.dynamic_update_slice(kv_l[1], v.astype(kv_l.dtype), (n_past, 0, 0))
+            k_cache = lax.dynamic_update_slice(
+                kv_l[0], k.transpose(1, 0, 2).astype(kv_l.dtype), (0, n_past, 0))
+            v_cache = lax.dynamic_update_slice(
+                kv_l[1], v.transpose(1, 0, 2).astype(kv_l.dtype), (0, n_past, 0))
             # Prefill always starts from an empty cache in this pipeline
             # (reference clears the cache before forward_prefill), so causal
             # attention over the window itself is sufficient.
@@ -141,7 +146,7 @@ def forward_step(
     cfg: CoreConfig,
     x: jnp.ndarray,          # [H] single-token input
     n_past: jnp.ndarray,     # scalar int: cache fill level == position
-    kv: jnp.ndarray,         # [L, 2, C, Hkv, D]
+    kv: jnp.ndarray,         # [L, 2, Hkv, C, D] head-major
 ):
     """Single-token decode step; K/V written at position n_past; attention over
     cache[0:n_past+1]. Returns (hidden [H] pre-output-norm, kv)."""
@@ -153,8 +158,10 @@ def forward_step(
         params_l, kv_l = layer_in
 
         def attend(q, k, v):
-            k_cache = lax.dynamic_update_slice(kv_l[0], k.astype(kv_l.dtype), (n_past, 0, 0))
-            v_cache = lax.dynamic_update_slice(kv_l[1], v.astype(kv_l.dtype), (n_past, 0, 0))
+            k_cache = lax.dynamic_update_slice(
+                kv_l[0], k.transpose(1, 0, 2).astype(kv_l.dtype), (0, n_past, 0))
+            v_cache = lax.dynamic_update_slice(
+                kv_l[1], v.transpose(1, 0, 2).astype(kv_l.dtype), (0, n_past, 0))
             o = attn_ops.decode_attention_auto(q[0], k_cache, v_cache, n_past + 1)
             return o[None], jnp.stack([k_cache, v_cache])
 

@@ -56,35 +56,41 @@ def decode_attention_auto(
     v_cache: jnp.ndarray,
     n_valid: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Dispatch decode attention: the Pallas fused kernel on TPU when shapes
-    qualify (cache capacity and head_dim multiples of 128), the XLA einsum
-    path otherwise (CPU tests, tiny configs, QWEN3TTS_NO_PALLAS=1)."""
+    """Dispatch decode attention over a head-major [Hkv, C, D] cache: the
+    Pallas fused kernel on TPU when shapes qualify (capacity and head_dim
+    multiples of 128), the XLA einsum path otherwise (CPU tests, tiny
+    configs, QWEN3TTS_NO_PALLAS=1)."""
     from .pallas_attention import DEFAULT_BLOCK, decode_attention_pallas, use_pallas_decode
 
-    C, Hkv, D = k_cache.shape
-    if (use_pallas_decode() and C % DEFAULT_BLOCK == 0 and D % 128 == 0
-            and q.shape[0] % Hkv == 0):
+    # Below ~1k cache slots the whole cache is a few MB and the XLA einsum is
+    # faster than 28 extra kernel launches per step; the Pallas kernel wins
+    # when capacity is large and mostly empty (long-form budgets).
+    MIN_PALLAS_CAPACITY = 1024
+
+    Hkv, C, D = k_cache.shape
+    if (use_pallas_decode() and C % DEFAULT_BLOCK == 0 and C >= MIN_PALLAS_CAPACITY
+            and D % 128 == 0 and q.shape[0] % Hkv == 0):
         return decode_attention_pallas(q, k_cache, v_cache, n_valid)
     return decode_attention(q, k_cache, v_cache, n_valid)
 
 
 def decode_attention(
     q: jnp.ndarray,        # [Hq, D]
-    k_cache: jnp.ndarray,  # [C, Hkv, D]
-    v_cache: jnp.ndarray,  # [C, Hkv, D]
+    k_cache: jnp.ndarray,  # [Hkv, C, D] head-major
+    v_cache: jnp.ndarray,  # [Hkv, C, D]
     n_valid: jnp.ndarray,  # scalar int: number of valid cache entries
 ) -> jnp.ndarray:
     """Single-token attention over a preallocated KV cache. Returns [Hq, D]."""
     Hq, D = q.shape
-    C, Hkv, _ = k_cache.shape
+    Hkv, C, _ = k_cache.shape
     group = Hq // Hkv
     scale = 1.0 / (D ** 0.5)
 
     qg = q.reshape(Hkv, group, D)
-    scores = jnp.einsum("hgd,chd->hgc", qg, k_cache, preferred_element_type=jnp.float32)
+    scores = jnp.einsum("hgd,hcd->hgc", qg, k_cache, preferred_element_type=jnp.float32)
     scores = scores * scale
     mask = jnp.arange(C) < n_valid
     scores = jnp.where(mask[None, None, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("hgc,chd->hgd", probs.astype(v_cache.dtype), v_cache)
+    out = jnp.einsum("hgc,hcd->hgd", probs.astype(v_cache.dtype), v_cache)
     return out.reshape(Hq, D)

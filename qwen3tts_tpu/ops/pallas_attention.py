@@ -3,13 +3,18 @@
 The XLA reference path (ops/attention.py decode_attention) computes masked
 attention over the FULL preallocated cache every step: at a 4096-frame budget
 that is ~470 MB of KV reads per frame across the talker's 28 layers whether
-2 or 4000 positions are valid. This kernel grids over KV blocks, prefetches
-``n_valid`` as a scalar, and skips blocks past the valid prefix entirely —
-per-step KV traffic is proportional to the actual context (flash-attention
-style online softmax, one pass).
+2 or 4000 positions are valid. This kernel grids over (kv_head, KV block),
+prefetches ``n_valid`` as a scalar, and clamps out-of-range block indices so
+their DMA is never issued — per-step KV traffic is proportional to the actual
+context (flash-attention style online softmax, one pass).
 
-Semantics are identical to decode_attention: GQA (Hq query heads over Hkv KV
-heads), scale 1/sqrt(D), softmax in f32 over cache[0:n_valid].
+TPU tiling notes: the cache is head-major [Hkv, C, D] so KV blocks are legal
+(BLOCK, D) = (128, 128) tiles; the per-head query group (G = Hq/Hkv = 2) is
+zero-padded to 8 sublanes — the padded rows compute garbage that is sliced
+away on return (bandwidth-bound kernel; the extra VPU rows are free).
+
+Semantics are identical to decode_attention: GQA, scale 1/sqrt(D), softmax in
+f32 over cache[0:n_valid].
 """
 
 from __future__ import annotations
@@ -22,11 +27,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK = 128
+GROUP_PAD = 8
 NEG_INF = -1e30
 
 
 def _decode_attn_kernel(n_valid_ref, q_ref, k_ref, v_ref, o_ref,
-                        m_ref, l_ref, acc_ref, *, block: int, groups: int):
+                        m_ref, l_ref, acc_ref, *, block: int):
     j = pl.program_id(1)
     n_valid = n_valid_ref[0]
 
@@ -38,83 +44,88 @@ def _decode_attn_kernel(n_valid_ref, q_ref, k_ref, v_ref, o_ref,
 
     @pl.when(j * block < n_valid)
     def _block():
-        q = q_ref[0].astype(jnp.float32)              # [G, D]
-        k = k_ref[:, 0, :].astype(jnp.float32)        # [BLK, D]
-        v = v_ref[:, 0, :].astype(jnp.float32)        # [BLK, D]
+        q = q_ref[0].astype(jnp.float32)              # [GP, D]
+        k = k_ref[0].astype(jnp.float32)              # [BLK, D]
+        v = v_ref[0].astype(jnp.float32)              # [BLK, D]
         d = q.shape[-1]
 
-        s = jax.lax.dot_general(                      # [G, BLK]
+        s = jax.lax.dot_general(                      # [GP, BLK]
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         s = s * (1.0 / (d ** 0.5))
         col = j * block + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < n_valid, s, NEG_INF)
 
-        m_prev = m_ref[:, 0]                          # [G]
-        m_cur = jnp.max(s, axis=1)
+        m_prev = m_ref[:, 0:1]                        # [GP, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new[:, None])               # [G, BLK]
-        alpha = jnp.exp(m_prev - m_new)               # [G]
-        l_new = alpha * l_ref[:, 0] + jnp.sum(p, axis=1)
-        acc_ref[...] = acc_ref[...] * alpha[:, None] + jax.lax.dot_general(
+        p = jnp.exp(s - m_new)                        # [GP, BLK]
+        alpha = jnp.exp(m_prev - m_new)               # [GP, 1]
+        l_new = alpha * l_ref[:, 0:1] + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        m_ref[:, 0] = m_new
-        l_ref[:, 0] = l_new
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _finish():
-        l = l_ref[:, 0]
-        o_ref[0] = (acc_ref[...] / jnp.maximum(l, 1e-30)[:, None]).astype(o_ref.dtype)
+        l = l_ref[:, 0:1]
+        o_ref[0] = (acc_ref[...] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def decode_attention_pallas(
     q: jnp.ndarray,        # [Hq, D]
-    k_cache: jnp.ndarray,  # [C, Hkv, D]
-    v_cache: jnp.ndarray,  # [C, Hkv, D]
+    k_cache: jnp.ndarray,  # [Hkv, C, D] head-major
+    v_cache: jnp.ndarray,  # [Hkv, C, D]
     n_valid: jnp.ndarray,  # scalar int32
     *,
     block: int = DEFAULT_BLOCK,
     interpret: bool = False,
 ) -> jnp.ndarray:
     Hq, D = q.shape
-    C, Hkv, _ = k_cache.shape
+    Hkv, C, _ = k_cache.shape
     G = Hq // Hkv
+    GP = max(GROUP_PAD, G)
     assert C % block == 0, f"cache capacity {C} must be a multiple of {block}"
     n_blocks = C // block
 
     qg = q.reshape(Hkv, G, D)
-    grid = (Hkv, n_blocks)
+    q_pad = jnp.zeros((Hkv, GP, D), q.dtype).at[:, :G, :].set(qg)
+
+    # Clamp out-of-range KV block indices to the last valid block: Pallas only
+    # issues a DMA when the block index changes, so blocks past n_valid are
+    # never fetched from HBM (the kernel's pl.when guard skips their compute).
+    # NB: index maps must stay trivially lowerable — truncating lax.div /
+    # lax.min (a Python // on traced ints emits a sign-correcting select_n
+    # that the Mosaic index-map lowering rejects).
+    def kv_index(h, j, n_ref):
+        last = jax.lax.div(n_ref[0] - 1, jnp.int32(block))
+        return (h, jax.lax.min(j, last), 0)
 
     out = pl.pallas_call(
-        functools.partial(_decode_attn_kernel, block=block, groups=G),
+        functools.partial(_decode_attn_kernel, block=block),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=grid,
+            grid=(Hkv, n_blocks),
             in_specs=[
-                pl.BlockSpec((1, G, D), lambda h, j, n_ref: (h, 0, 0)),
-                # Clamp out-of-range KV block indices to the last valid block:
-                # Pallas only issues a DMA when the block index changes, so
-                # blocks past n_valid are never fetched from HBM (the kernel's
-                # pl.when guard already skips their compute).
-                pl.BlockSpec((block, 1, D),
-                             lambda h, j, n_ref: (jnp.minimum(j, (n_ref[0] - 1) // block), h, 0)),
-                pl.BlockSpec((block, 1, D),
-                             lambda h, j, n_ref: (jnp.minimum(j, (n_ref[0] - 1) // block), h, 0)),
+                pl.BlockSpec((1, GP, D), lambda h, j, n_ref: (h, 0, 0)),
+                pl.BlockSpec((1, block, D), kv_index),
+                pl.BlockSpec((1, block, D), kv_index),
             ],
-            out_specs=pl.BlockSpec((1, G, D), lambda h, j, n_ref: (h, 0, 0)),
+            out_specs=pl.BlockSpec((1, GP, D), lambda h, j, n_ref: (h, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((G, 1), jnp.float32),   # running max
-                pltpu.VMEM((G, 1), jnp.float32),   # running denom
-                pltpu.VMEM((G, D), jnp.float32),   # output accumulator
+                pltpu.VMEM((GP, 128), jnp.float32),  # running max (col-const)
+                pltpu.VMEM((GP, 128), jnp.float32),  # running denom (col-const)
+                pltpu.VMEM((GP, D), jnp.float32),    # output accumulator
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((Hkv, G, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((Hkv, GP, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(jnp.asarray(n_valid, jnp.int32)[None], qg, k_cache, v_cache)
-    return out.reshape(Hq, D)
+    )(jnp.asarray(n_valid, jnp.int32)[None], q_pad, k_cache, v_cache)
+    return out[:, :G, :].reshape(Hq, D)
 
 
 def use_pallas_decode() -> bool:

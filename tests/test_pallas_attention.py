@@ -14,8 +14,8 @@ def test_matches_xla_reference(n_valid):
     rng = np.random.default_rng(n_valid)
     Hq, Hkv, D, C = 16, 8, 128, 256
     q = jnp.asarray(rng.normal(size=(Hq, D)), jnp.float32)
-    k = jnp.asarray(rng.normal(size=(C, Hkv, D)), jnp.float32)
-    v = jnp.asarray(rng.normal(size=(C, Hkv, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(Hkv, C, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(Hkv, C, D)), jnp.float32)
 
     want = decode_attention(q, k, v, jnp.int32(n_valid))
     got = decode_attention_pallas(q, k, v, jnp.int32(n_valid), interpret=True)
@@ -26,11 +26,11 @@ def test_garbage_beyond_valid_is_ignored():
     rng = np.random.default_rng(0)
     Hq, Hkv, D, C = 4, 2, 128, 256
     q = jnp.asarray(rng.normal(size=(Hq, D)), jnp.float32)
-    k = jnp.asarray(rng.normal(size=(C, Hkv, D)), jnp.float32)
-    v = jnp.asarray(rng.normal(size=(C, Hkv, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(Hkv, C, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(Hkv, C, D)), jnp.float32)
     a = decode_attention_pallas(q, k, v, jnp.int32(100), interpret=True)
-    k2 = k.at[100:].set(1e4)
-    v2 = v.at[100:].set(-1e4)
+    k2 = k.at[:, 100:].set(1e4)
+    v2 = v.at[:, 100:].set(-1e4)
     b = decode_attention_pallas(q, k2, v2, jnp.int32(100), interpret=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
@@ -39,8 +39,8 @@ def test_bf16_inputs():
     rng = np.random.default_rng(3)
     Hq, Hkv, D, C = 16, 8, 128, 128
     q = jnp.asarray(rng.normal(size=(Hq, D)), jnp.bfloat16)
-    k = jnp.asarray(rng.normal(size=(C, Hkv, D)), jnp.bfloat16)
-    v = jnp.asarray(rng.normal(size=(C, Hkv, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(Hkv, C, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(Hkv, C, D)), jnp.bfloat16)
     want = decode_attention(q, k, v, jnp.int32(77))
     got = decode_attention_pallas(q, k, v, jnp.int32(77), interpret=True)
     np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want, np.float32),

@@ -89,9 +89,9 @@ def test_prefill_padding_mask(params):
     rng = np.random.default_rng(3)
     core = T.core_config(TCFG)
     x = rng.normal(size=(8, TCFG.hidden_size)).astype(np.float32) * 0.3
-    kv = jnp.zeros((TCFG.n_layers, 2, 16, TCFG.n_kv_heads, TCFG.head_dim), jnp.float32)
+    kv = jnp.zeros((TCFG.n_layers, 2, TCFG.n_kv_heads, 16, TCFG.head_dim), jnp.float32)
     h_full, _ = forward_prefill(params.blocks, core, jnp.asarray(x[:5]),
-                                jnp.arange(5, dtype=jnp.int32), None, kv[:, :, :16], 0)
+                                jnp.arange(5, dtype=jnp.int32), None, kv, 0)
     xp = x.copy()
     xp[5:] = 99.0  # garbage in padding
     h_pad, _ = forward_prefill(params.blocks, core, jnp.asarray(xp),
