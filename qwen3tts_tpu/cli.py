@@ -52,7 +52,9 @@ def main(argv=None) -> int:
               + ",".join(sorted(k for k in LANGUAGE_IDS if len(k) == 2)), file=sys.stderr)
         return 1
 
-    cfg = PipelineConfig(runtime=RuntimeConfig(dtype=args.dtype))
+    from .io.config_io import config_from_model_dir
+    cfg = config_from_model_dir(None if args.synthetic else args.model,
+                                RuntimeConfig(dtype=args.dtype))
     tts = Qwen3TTS(cfg)
 
     print(f"Loading models from: {args.model or '<synthetic>'}", file=sys.stderr)

@@ -91,6 +91,17 @@ class Qwen3TTS:
         self.progress_callback: Optional[Callable[[int, int], None]] = None
         self.error_msg = ""
 
+    @classmethod
+    def from_pretrained(cls, model_dir: str, runtime=None) -> "Qwen3TTS":
+        """Construct with hyperparameters read from the checkpoint's
+        config.json files (defaults fill gaps) and load the weights."""
+        from .io.config_io import config_from_model_dir
+
+        tts = cls(config_from_model_dir(model_dir, runtime))
+        if not tts.load_models(model_dir):
+            raise RuntimeError(tts.error_msg)
+        return tts
+
     # ------------------------------------------------------------------
     # model lifecycle
     # ------------------------------------------------------------------
@@ -359,6 +370,65 @@ class Qwen3TTS:
         result.timings.t_total_ms = now_ms() - t_total0
         result.timings.mem_rss_peak = rss_bytes()
         return result
+
+    def synthesize_batch(self, texts, params: SamplingConfig = SamplingConfig(),
+                         speakers=None):
+        """Batched multi-utterance synthesis (BASELINE.json config #5): all
+        utterances run one fused vmapped decode loop (shard the batch over a
+        "dp" mesh axis for multi-chip serving). Returns a list of TTSResult."""
+        rt = self.config.runtime
+        tcfg, ccfg = self.config.talker, self.config.code_predictor
+        B = len(texts)
+        if speakers is None:
+            speakers = np.zeros((B, tcfg.hidden_size), np.float32)
+        results = [TTSResult() for _ in texts]
+        if not self._loaded:
+            for r in results:
+                r.error_msg = "Models not loaded"
+            return results
+
+        t_total0 = now_ms()
+        token_lists = [self.tokenizer.encode_for_tts(t) for t in texts]
+        Tb = pick_bucket(max(len(t) for t in token_lists), rt.prefill_buckets)
+        tokens = np.zeros((B, Tb), np.int32)
+        n_tok = np.zeros((B,), np.int32)
+        for i, ids in enumerate(token_lists):
+            tokens[i, : len(ids)] = ids
+            n_tok[i] = len(ids)
+        max_frames = pick_bucket(params.max_audio_tokens, rt.frame_buckets)
+        kv_capacity = -(-(10 + max_frames + rt.kv_margin) // 128) * 128
+
+        t0 = now_ms()
+        gen = decode_loop.generate_from_tokens_batched(
+            self.talker_params, self.cp_params,
+            jnp.asarray(tokens), jnp.asarray(n_tok),
+            jnp.asarray(speakers, jnp.float32),
+            jnp.full((B,), params.language_id, jnp.int32),
+            jax.random.split(jax.random.PRNGKey(params.seed), B),
+            talker_cfg=tcfg, cp_cfg=ccfg,
+            max_frames=max_frames, kv_capacity=kv_capacity,
+            temperature=params.temperature, top_k=params.top_k, top_p=params.top_p,
+            repetition_penalty=params.repetition_penalty,
+            nothink=params.language_id < 0)
+        t_gen = now_ms() - t0
+        all_codes = np.asarray(gen.codes)
+        all_n = np.asarray(gen.n_frames)
+
+        for i, r in enumerate(results):
+            n = int(min(all_n[i], params.max_audio_tokens))
+            r.codes = all_codes[i, :n]
+            r.n_frames = n
+            r.timings.t_generate_ms = t_gen
+            if n == 0:
+                r.error_msg = "No speech codes generated"
+                continue
+            t0 = now_ms()
+            r.audio = self.decode_codes(r.codes)
+            r.timings.t_decode_ms = now_ms() - t0
+            r.sample_rate = self.config.vocoder.sample_rate
+            r.success = True
+            r.timings.t_total_ms = now_ms() - t_total0
+        return results
 
     def decode_codes(self, codes: np.ndarray) -> np.ndarray:
         """codes [n_frames, 16] -> waveform (bucketed, optionally chunked)."""

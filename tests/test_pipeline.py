@@ -137,3 +137,40 @@ def test_cli_synthetic(tmp_path):
     args = p.parse_args(["-t", "hi", "-o", out, "--temperature", "0", "--top-k", "3",
                          "--max-tokens", "4", "--synthetic", "-l", "en"])
     assert args.synthetic and args.temperature == 0.0 and args.top_k == 3
+
+
+def test_synthesize_batch(tts):
+    from qwen3tts_tpu.config import SamplingConfig
+    params = SamplingConfig(temperature=0.0, top_k=0, max_audio_tokens=6)
+    results = tts.synthesize_batch(["Hello.", "Hi there."], params)
+    assert all(r.success for r in results), [r.error_msg for r in results]
+    single = tts.synthesize("Hello.", params)
+    np.testing.assert_array_equal(results[0].codes, single.codes)
+
+
+def test_config_from_model_dir_defaults():
+    from qwen3tts_tpu.io.config_io import config_from_model_dir
+    cfg = config_from_model_dir(None)
+    assert cfg.talker.n_layers == 28 and cfg.vocoder.samples_per_frame == 1920
+
+
+def test_config_from_model_dir_reads_json(tmp_path):
+    import json, os
+    from qwen3tts_tpu.io.config_io import config_from_model_dir
+    sub = tmp_path / "Qwen3-TTS-12Hz-0.6B-Base"
+    sub.mkdir()
+    (sub / "config.json").write_text(json.dumps({
+        "talker_config": {"num_hidden_layers": 4, "hidden_size": 64,
+                          "code_predictor_config": {"num_hidden_layers": 2}},
+        "speaker_encoder_config": {"enc_dim": 256},
+    }))
+    tok = tmp_path / "Qwen3-TTS-Tokenizer-12Hz"
+    tok.mkdir()
+    (tok / "config.json").write_text(json.dumps({
+        "decoder_config": {"upsample_rates": [8, 5, 4, 3], "latent_dim": 512},
+    }))
+    cfg = config_from_model_dir(str(tmp_path))
+    assert cfg.talker.n_layers == 4 and cfg.talker.hidden_size == 64
+    assert cfg.code_predictor.n_layers == 2 and cfg.code_predictor.hidden_size == 64
+    assert cfg.speaker_encoder.embedding_dim == 256
+    assert cfg.vocoder.latent_dim == 512
