@@ -63,7 +63,7 @@ def main() -> None:
             tp, cp, jnp.asarray(tokens), jnp.int32(32), speaker, jnp.int32(2050),
             jax.random.PRNGKey(seed),
             talker_cfg=tcfg, cp_cfg=ccfg,
-            max_frames=max_frames, kv_capacity=-(-(10 + max_frames + 8) // 128) * 128,
+            max_frames=max_frames, kv_capacity=-(-(10 + max_frames + 8) // 256) * 256,
             temperature=0.9, top_k=50, repetition_penalty=1.05,
             allow_eos=False)
 

@@ -60,7 +60,7 @@ def decode_attention_auto(
     Pallas fused kernel on TPU when shapes qualify (capacity and head_dim
     multiples of 128), the XLA einsum path otherwise (CPU tests, tiny
     configs, QWEN3TTS_NO_PALLAS=1)."""
-    from .pallas_attention import DEFAULT_BLOCK, decode_attention_pallas, use_pallas_decode
+    from .pallas_attention import decode_attention_pallas, use_pallas_decode
 
     # Below ~1k cache slots the whole cache is a few MB and the XLA einsum is
     # faster than 28 extra kernel launches per step; the Pallas kernel wins
@@ -68,9 +68,10 @@ def decode_attention_auto(
     MIN_PALLAS_CAPACITY = 1024
 
     Hkv, C, D = k_cache.shape
-    if (use_pallas_decode() and C % DEFAULT_BLOCK == 0 and C >= MIN_PALLAS_CAPACITY
+    block = 256 if C % 256 == 0 else 128
+    if (use_pallas_decode() and C % block == 0 and C >= MIN_PALLAS_CAPACITY
             and D % 128 == 0 and q.shape[0] % Hkv == 0):
-        return decode_attention_pallas(q, k_cache, v_cache, n_valid)
+        return decode_attention_pallas(q, k_cache, v_cache, n_valid, block=block)
     return decode_attention(q, k_cache, v_cache, n_valid)
 
 

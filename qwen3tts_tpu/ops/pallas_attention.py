@@ -3,15 +3,18 @@
 The XLA reference path (ops/attention.py decode_attention) computes masked
 attention over the FULL preallocated cache every step: at a 4096-frame budget
 that is ~470 MB of KV reads per frame across the talker's 28 layers whether
-2 or 4000 positions are valid. This kernel grids over (kv_head, KV block),
-prefetches ``n_valid`` as a scalar, and clamps out-of-range block indices so
-their DMA is never issued — per-step KV traffic is proportional to the actual
-context (flash-attention style online softmax, one pass).
+2 or 4000 positions are valid. This kernel grids over KV blocks only (all KV
+heads processed per iteration — grid-iteration overhead is what kills a
+(head, block) grid at 28 calls/frame), prefetches ``n_valid`` as a scalar,
+and clamps out-of-range block indices so their DMA is never issued: per-step
+KV traffic and grid work are proportional to the actual context
+(flash-attention style online softmax, one pass).
 
-TPU tiling notes: the cache is head-major [Hkv, C, D] so KV blocks are legal
-(BLOCK, D) = (128, 128) tiles; the per-head query group (G = Hq/Hkv = 2) is
-zero-padded to 8 sublanes — the padded rows compute garbage that is sliced
-away on return (bandwidth-bound kernel; the extra VPU rows are free).
+TPU tiling notes: the cache is head-major [Hkv, C, D] so a KV block is a
+legal (Hkv, BLOCK, D) fetch; the per-head query group (G = Hq/Hkv = 2) is
+zero-padded to 8 sublanes and all heads stack into [Hkv*8, D] scratch. The
+padded rows compute garbage that is sliced away on return (bandwidth-bound
+kernel; the extra VPU rows are free).
 
 Semantics are identical to decode_attention: GQA, scale 1/sqrt(D), softmax in
 f32 over cache[0:n_valid].
@@ -26,15 +29,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK = 128
+DEFAULT_BLOCK = 256
 GROUP_PAD = 8
 NEG_INF = -1e30
 
 
 def _decode_attn_kernel(n_valid_ref, q_ref, k_ref, v_ref, o_ref,
-                        m_ref, l_ref, acc_ref, *, block: int):
-    j = pl.program_id(1)
+                        m_ref, l_ref, acc_ref, *, block: int, n_kv: int):
+    j = pl.program_id(0)
     n_valid = n_valid_ref[0]
+    GP = GROUP_PAD
 
     @pl.when(j == 0)
     def _init():
@@ -44,32 +48,35 @@ def _decode_attn_kernel(n_valid_ref, q_ref, k_ref, v_ref, o_ref,
 
     @pl.when(j * block < n_valid)
     def _block():
-        q = q_ref[0].astype(jnp.float32)              # [GP, D]
-        k = k_ref[0].astype(jnp.float32)              # [BLK, D]
-        v = v_ref[0].astype(jnp.float32)              # [BLK, D]
-        d = q.shape[-1]
+        col = j * block + jax.lax.broadcasted_iota(jnp.int32, (GP, block), 1)
+        valid = col < n_valid
+        scale = 1.0 / (q_ref.shape[-1] ** 0.5)
+        for h in range(n_kv):  # unrolled: static head count
+            rows = slice(h * GP, (h + 1) * GP)
+            q = q_ref[h].astype(jnp.float32)            # [GP, D]
+            k = k_ref[h].astype(jnp.float32)            # [BLK, D]
+            v = v_ref[h].astype(jnp.float32)            # [BLK, D]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = jnp.where(valid, s, NEG_INF)
 
-        s = jax.lax.dot_general(                      # [GP, BLK]
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        s = s * (1.0 / (d ** 0.5))
-        col = j * block + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < n_valid, s, NEG_INF)
+            m_prev = m_ref[rows, 0:1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[rows, :] = jnp.broadcast_to(
+                alpha * l_ref[rows, 0:1] + jnp.sum(p, axis=1, keepdims=True),
+                (GP, l_ref.shape[1]))
+            acc_ref[rows, :] = acc_ref[rows, :] * alpha + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            m_ref[rows, :] = jnp.broadcast_to(m_new, (GP, m_ref.shape[1]))
 
-        m_prev = m_ref[:, 0:1]                        # [GP, 1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)                        # [GP, BLK]
-        alpha = jnp.exp(m_prev - m_new)               # [GP, 1]
-        l_new = alpha * l_ref[:, 0:1] + jnp.sum(p, axis=1, keepdims=True)
-        acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
-
-    @pl.when(j == pl.num_programs(1) - 1)
+    @pl.when(j == pl.num_programs(0) - 1)
     def _finish():
         l = l_ref[:, 0:1]
-        o_ref[0] = (acc_ref[...] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        out = (acc_ref[...] / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        o_ref[...] = out.reshape(o_ref.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
@@ -85,7 +92,8 @@ def decode_attention_pallas(
     Hq, D = q.shape
     Hkv, C, _ = k_cache.shape
     G = Hq // Hkv
-    GP = max(GROUP_PAD, G)
+    GP = GROUP_PAD
+    assert G <= GP, f"query group {G} exceeds sublane padding {GP}"
     assert C % block == 0, f"cache capacity {C} must be a multiple of {block}"
     n_blocks = C // block
 
@@ -98,30 +106,30 @@ def decode_attention_pallas(
     # NB: index maps must stay trivially lowerable — truncating lax.div /
     # lax.min (a Python // on traced ints emits a sign-correcting select_n
     # that the Mosaic index-map lowering rejects).
-    def kv_index(h, j, n_ref):
+    def kv_index(j, n_ref):
         last = jax.lax.div(n_ref[0] - 1, jnp.int32(block))
-        return (h, jax.lax.min(j, last), 0)
+        return (0, jax.lax.min(j, last), 0)
 
     out = pl.pallas_call(
-        functools.partial(_decode_attn_kernel, block=block),
+        functools.partial(_decode_attn_kernel, block=block, n_kv=Hkv),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(Hkv, n_blocks),
+            grid=(n_blocks,),
             in_specs=[
-                pl.BlockSpec((1, GP, D), lambda h, j, n_ref: (h, 0, 0)),
-                pl.BlockSpec((1, block, D), kv_index),
-                pl.BlockSpec((1, block, D), kv_index),
+                pl.BlockSpec((Hkv, GP, D), lambda j, n_ref: (0, 0, 0)),
+                pl.BlockSpec((Hkv, block, D), kv_index),
+                pl.BlockSpec((Hkv, block, D), kv_index),
             ],
-            out_specs=pl.BlockSpec((1, GP, D), lambda h, j, n_ref: (h, 0, 0)),
+            out_specs=pl.BlockSpec((Hkv, GP, D), lambda j, n_ref: (0, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((GP, 128), jnp.float32),  # running max (col-const)
-                pltpu.VMEM((GP, 128), jnp.float32),  # running denom (col-const)
-                pltpu.VMEM((GP, D), jnp.float32),    # output accumulator
+                pltpu.VMEM((Hkv * GP, 128), jnp.float32),  # running max
+                pltpu.VMEM((Hkv * GP, 128), jnp.float32),  # running denom
+                pltpu.VMEM((Hkv * GP, D), jnp.float32),    # output accumulator
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((Hkv, GP, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(jnp.asarray(n_valid, jnp.int32)[None], q_pad, k_cache, v_cache)

@@ -319,7 +319,7 @@ class Qwen3TTS:
         padded[: len(tokens)] = tokens
         max_frames = pick_bucket(params.max_audio_tokens, rt.frame_buckets)
         # round capacity up to the Pallas attention block size (128)
-        kv_capacity = -(-(10 + max_frames + rt.kv_margin) // 128) * 128
+        kv_capacity = -(-(10 + max_frames + rt.kv_margin) // 256) * 256
 
         progress_cb = None
         if self.progress_callback is not None:
@@ -396,7 +396,7 @@ class Qwen3TTS:
             tokens[i, : len(ids)] = ids
             n_tok[i] = len(ids)
         max_frames = pick_bucket(params.max_audio_tokens, rt.frame_buckets)
-        kv_capacity = -(-(10 + max_frames + rt.kv_margin) // 128) * 128
+        kv_capacity = -(-(10 + max_frames + rt.kv_margin) // 256) * 256
 
         t0 = now_ms()
         gen = decode_loop.generate_from_tokens_batched(

@@ -42,6 +42,6 @@ def test_bf16_inputs():
     k = jnp.asarray(rng.normal(size=(Hkv, C, D)), jnp.bfloat16)
     v = jnp.asarray(rng.normal(size=(Hkv, C, D)), jnp.bfloat16)
     want = decode_attention(q, k, v, jnp.int32(77))
-    got = decode_attention_pallas(q, k, v, jnp.int32(77), interpret=True)
+    got = decode_attention_pallas(q, k, v, jnp.int32(77), block=128, interpret=True)
     np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want, np.float32),
                                rtol=2e-2, atol=2e-2)

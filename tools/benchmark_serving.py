@@ -67,7 +67,7 @@ def main() -> int:
             jnp.full((B,), 2050, jnp.int32), keys,
             talker_cfg=tcfg, cp_cfg=ccfg,
             max_frames=max_frames,
-            kv_capacity=-(-(10 + max_frames + 8) // 128) * 128,
+            kv_capacity=-(-(10 + max_frames + 8) // 256) * 256,
             temperature=0.9, top_k=50, repetition_penalty=1.05)
 
     # NB: batched mode can't mask EOS via allow_eos (not exposed on the
@@ -96,7 +96,7 @@ def main() -> int:
                 jax.random.PRNGKey(2),
                 talker_cfg=tcfg, cp_cfg=ccfg,
                 max_frames=max_frames,
-                kv_capacity=-(-(10 + max_frames + 8) // 128) * 128,
+                kv_capacity=-(-(10 + max_frames + 8) // 256) * 256,
                 temperature=0.9, top_k=50, repetition_penalty=1.05,
                 allow_eos=False)
 

@@ -64,7 +64,7 @@ def build_programs(frames: int, text_bucket: int, tiny: bool):
     cp = cp_model.init_code_predictor_params(k2, ccfg, dtype)
     vp = vocoder_model.init_vocoder_params(k3, vcfg, jnp.float32)
 
-    kv_capacity = -(-(10 + frames + 8) // 128) * 128
+    kv_capacity = -(-(10 + frames + 8) // 256) * 256
 
     def generate_fn(tp, cp, tokens, n_tokens, speaker, lang, prng):
         return decode_loop.generate_from_tokens(
