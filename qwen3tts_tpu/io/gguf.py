@@ -74,9 +74,13 @@ def q8_0_arrays(buf: bytes, shape: Tuple[int, ...]) -> tuple[np.ndarray, np.ndar
 
 class GGUFReader:
     def __init__(self, path: str):
+        import mmap as _mmap
+
         self.path = path
-        with open(path, "rb") as f:
-            data = f.read()
+        f = open(path, "rb")
+        # mmap: tensor reads stay lazy (a full F16 model is ~1.8 GB on disk)
+        data = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+        f.close()
         self._data = data
         off = 0
 
