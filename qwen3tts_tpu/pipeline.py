@@ -430,6 +430,72 @@ class Qwen3TTS:
             r.timings.t_total_ms = now_ms() - t_total0
         return results
 
+    def synthesize_streaming(self, text: str, params: SamplingConfig = SamplingConfig(),
+                             *, chunk_frames: int = 16, history: int = 32,
+                             speaker: Optional[np.ndarray] = None):
+        """Streaming synthesis: yields float32 audio chunks while generation
+        is still running (generation advances in chunk_frames-sized bites;
+        each bite is vocoded with `history` frames of left context). The
+        reference lists streaming decode as unimplemented future work
+        (OPTIMIZATION.md:157-159).
+
+        Time-to-first-audio ~= prefill + chunk_frames * per-frame cost +
+        one vocoder chunk."""
+        if not self._loaded:
+            raise RuntimeError("Models not loaded")
+        rt = self.config.runtime
+        tcfg, ccfg = self.config.talker, self.config.code_predictor
+        spf = self.config.vocoder.samples_per_frame
+        if speaker is None:
+            speaker = np.zeros((tcfg.hidden_size,), np.float32)
+
+        tokens = self.tokenizer.encode_for_tts(text)
+        Tb = pick_bucket(len(tokens), rt.prefill_buckets)
+        padded = np.zeros((Tb,), np.int32)
+        padded[: len(tokens)] = tokens
+        max_frames = pick_bucket(params.max_audio_tokens, rt.frame_buckets)
+        kv_capacity = -(-(10 + max_frames + rt.kv_margin) // 256) * 256
+
+        if self.talker_params is None:
+            self._load_talker()
+        if self.vocoder_params is None:
+            self._load_vocoder()
+
+        state, prefill = decode_loop.generate_init(
+            self.talker_params, self.cp_params,
+            jnp.asarray(padded), jnp.int32(len(tokens)),
+            jnp.asarray(speaker, jnp.float32), jnp.int32(params.language_id),
+            jax.random.PRNGKey(params.seed),
+            talker_cfg=tcfg, cp_cfg=ccfg,
+            max_frames=max_frames, kv_capacity=kv_capacity,
+            nothink=params.language_id < 0)
+
+        emitted = 0
+        budget = min(params.max_audio_tokens, max_frames)
+        while True:
+            state = decode_loop.generate_chunk(
+                self.talker_params, self.cp_params, prefill, state,
+                talker_cfg=tcfg, cp_cfg=ccfg,
+                chunk_frames=chunk_frames, max_frames=max_frames,
+                temperature=params.temperature, top_k=params.top_k,
+                top_p=params.top_p, repetition_penalty=params.repetition_penalty)
+            n = min(int(state.frame), budget)
+            done = bool(state.done) or n >= budget
+            if n > emitted:
+                codes = np.asarray(state.codes[:n])
+                lo = max(0, emitted - history)
+                window = codes[lo:n]
+                Fb = pick_bucket(len(window), rt.vocoder_buckets)
+                buf = np.zeros((Fb, self.config.vocoder.n_codebooks), np.int32)
+                buf[: len(window)] = window
+                audio = np.asarray(vocoder_model.vocoder_decode(
+                    self.vocoder_params, self.config.vocoder,
+                    jnp.asarray(buf), jnp.int32(len(window))))
+                yield audio[(emitted - lo) * spf: (n - lo) * spf]
+                emitted = n
+            if done:
+                break
+
     def decode_codes(self, codes: np.ndarray) -> np.ndarray:
         """codes [n_frames, 16] -> waveform (bucketed, optionally chunked)."""
         vcfg = self.config.vocoder

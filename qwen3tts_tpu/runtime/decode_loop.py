@@ -102,8 +102,29 @@ def generate(
         done=jnp.bool_(False),
     )
 
+    body = _make_body(
+        talker_params, cp_params, talker_cfg, cp_cfg, prefill,
+        temperature=temperature, top_k=top_k, top_p=top_p,
+        repetition_penalty=repetition_penalty, progress_cb=progress_cb,
+        allow_eos=allow_eos)
+
     def cond(s: _LoopState):
         return jnp.logical_and(~s.done, s.frame < max_frames)
+
+    final = lax.while_loop(cond, body, state)
+    return GenerateResult(codes=final.codes, n_frames=final.frame, hidden=final.hidden_out)
+
+
+def _make_body(
+    talker_params, cp_params, talker_cfg, cp_cfg, prefill, *,
+    temperature, top_k, top_p, repetition_penalty, progress_cb, allow_eos,
+):
+    """The per-frame loop body, shared by full and chunked (streaming)
+    generation."""
+    Vc = talker_cfg.codec_vocab_size
+    suppress_start = Vc - talker_cfg.n_suppressed_tail
+    Trb = prefill.trailing.shape[0]
+    dtype = talker_params.codec_embd.dtype
 
     def body(s: _LoopState) -> _LoopState:
         # --- sample codebook 0 ---
@@ -157,8 +178,7 @@ def generate(
             done=done,
         )
 
-    final = lax.while_loop(cond, body, state)
-    return GenerateResult(codes=final.codes, n_frames=final.frame, hidden=final.hidden_out)
+    return body
 
 
 @functools.partial(
@@ -244,3 +264,97 @@ def generate_from_tokens_batched(
             repetition_penalty=repetition_penalty)
 
     return jax.vmap(one)(tokens, n_tokens, speaker_embd, language_id, keys)
+
+
+# ---------------------------------------------------------------------------
+# chunked (streaming) generation: prefill once, then decode in fixed-size
+# frame chunks so audio can be vocoded and emitted while generation continues
+# (the reference lists streaming as unimplemented future work,
+# OPTIMIZATION.md:157-159).
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "talker_cfg", "cp_cfg", "max_frames", "kv_capacity", "nothink",
+    ),
+)
+def generate_init(
+    talker_params,
+    cp_params,
+    tokens: jnp.ndarray,
+    n_tokens: jnp.ndarray,
+    speaker_embd: jnp.ndarray,
+    language_id: jnp.ndarray,
+    key: jax.Array,
+    *,
+    talker_cfg: TalkerConfig,
+    cp_cfg: CodePredictorConfig,
+    max_frames: int,
+    kv_capacity: int,
+    nothink: bool = False,
+):
+    """Build prefill inputs, run the talker prefill, return (state, prefill)
+    ready for generate_chunk."""
+    H = talker_cfg.hidden_size
+    Vc = talker_cfg.codec_vocab_size
+    dtype = talker_params.codec_embd.dtype
+    prefill = talker_model.build_prefill(
+        talker_params, talker_cfg, tokens, n_tokens, speaker_embd, language_id,
+        nothink=nothink)
+    kv = talker_model.make_kv_cache(talker_cfg, kv_capacity, dtype)
+    last_hidden, logits, kv = talker_model.talker_prefill(
+        talker_params, talker_cfg, prefill.prefill_embd, kv)
+    state = _LoopState(
+        frame=jnp.int32(0),
+        n_past=jnp.int32(prefill.prefill_embd.shape[0]),
+        logits=logits,
+        last_hidden=last_hidden,
+        kv=kv,
+        seen=jnp.zeros((Vc,), jnp.bool_),
+        codes=jnp.zeros((max_frames, talker_cfg.n_codebooks), jnp.int32),
+        hidden_out=jnp.zeros((max_frames, H), dtype),
+        key=key,
+        done=jnp.bool_(False),
+    )
+    return state, prefill
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "talker_cfg", "cp_cfg", "chunk_frames", "max_frames",
+        "temperature", "top_k", "top_p", "repetition_penalty", "allow_eos",
+    ),
+    donate_argnames=("state",),
+)
+def generate_chunk(
+    talker_params,
+    cp_params,
+    prefill: talker_model.PrefillInputs,
+    state: _LoopState,
+    *,
+    talker_cfg: TalkerConfig,
+    cp_cfg: CodePredictorConfig,
+    chunk_frames: int,
+    max_frames: int,
+    temperature: float,
+    top_k: int,
+    top_p: float = 1.0,
+    repetition_penalty: float = 1.05,
+    allow_eos: bool = True,
+) -> _LoopState:
+    """Advance the decode loop by up to chunk_frames emitted frames. The
+    state is donated (the KV cache updates in place across chunks); read
+    state.frame/state.done/state.codes between chunks."""
+    body = _make_body(
+        talker_params, cp_params, talker_cfg, cp_cfg, prefill,
+        temperature=temperature, top_k=top_k, top_p=top_p,
+        repetition_penalty=repetition_penalty, progress_cb=None,
+        allow_eos=allow_eos)
+    target = jnp.minimum(state.frame + chunk_frames, max_frames)
+
+    def cond(s: _LoopState):
+        return jnp.logical_and(~s.done, s.frame < target)
+
+    return lax.while_loop(cond, body, state)

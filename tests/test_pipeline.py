@@ -174,3 +174,17 @@ def test_config_from_model_dir_reads_json(tmp_path):
     assert cfg.code_predictor.n_layers == 2 and cfg.code_predictor.hidden_size == 64
     assert cfg.speaker_encoder.embedding_dim == 256
     assert cfg.vocoder.latent_dim == 512
+
+
+def test_streaming_synthesis_matches_full(tts):
+    """Chunked streaming generation must reproduce the non-streaming greedy
+    output exactly when the vocoder history spans the whole past."""
+    params = SamplingConfig(temperature=0.0, top_k=0, max_audio_tokens=12, seed=0)
+    full = tts.synthesize("Hello there friend.", params)
+    assert full.success and full.n_frames > 2
+
+    chunks = list(tts.synthesize_streaming(
+        "Hello there friend.", params, chunk_frames=4, history=32))
+    streamed = np.concatenate(chunks)
+    assert len(streamed) == full.n_frames * 1920
+    np.testing.assert_allclose(streamed, full.audio, rtol=1e-3, atol=2e-3)
