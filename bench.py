@@ -11,11 +11,17 @@ real-time on CPU). North star: >10x real time (>=125 frames/s).
 Weights are deterministic synthetic at the exact 0.6B configuration — FLOP and
 memory-traffic identical to the real checkpoint, so throughput is
 representative (no checkpoint files ship with this environment).
+
+Set QWEN3TTS_BENCH_QUANT=int8 to benchmark the weight-only int8 path.
+
+NB: run exclusively — concurrent processes on the same (tunneled) chip
+serialize and corrupt wall-clock timings.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -37,7 +43,8 @@ def main() -> None:
     tcfg, ccfg, vcfg = cfg.talker, cfg.code_predictor, cfg.vocoder
     spf = vcfg.samples_per_frame
     dev = jax.devices()[0]
-    print(f"device: {dev}", file=sys.stderr)
+    quant = os.environ.get("QWEN3TTS_BENCH_QUANT")
+    print(f"device: {dev}  quant: {quant or 'bf16'}", file=sys.stderr)
 
     @jax.jit
     def init_all():
@@ -48,6 +55,11 @@ def main() -> None:
 
     t0 = time.perf_counter()
     tp, cp, vp = jax.block_until_ready(init_all())
+    if quant == "int8":
+        from qwen3tts_tpu.ops.quant import quantize_block_params
+        tp = tp._replace(blocks=quantize_block_params(tp.blocks))
+        cp = cp._replace(blocks=quantize_block_params(cp.blocks))
+        jax.block_until_ready((tp.blocks.wqkv.q, cp.blocks.wqkv.q))
     print(f"param init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     N_FRAMES = 256
@@ -57,61 +69,76 @@ def main() -> None:
     tokens = np.zeros((Tb,), np.int32)
     tokens[:32] = rng.integers(2, 150000, size=32)
     speaker = jnp.zeros((tcfg.hidden_size,), jnp.float32)
+    KV = -(-(10 + N_FRAMES + 8) // 256) * 256
 
-    def run_generate(max_frames, seed):
-        return decode_loop.generate_from_tokens(
+    sampling = dict(temperature=0.9, top_k=50, repetition_penalty=1.05)
+
+    def run_init(seed):
+        return decode_loop.generate_init(
             tp, cp, jnp.asarray(tokens), jnp.int32(32), speaker, jnp.int32(2050),
             jax.random.PRNGKey(seed),
-            talker_cfg=tcfg, cp_cfg=ccfg,
-            max_frames=max_frames, kv_capacity=-(-(10 + max_frames + 8) // 256) * 256,
-            temperature=0.9, top_k=50, repetition_penalty=1.05,
-            allow_eos=False)
+            talker_cfg=tcfg, cp_cfg=ccfg, max_frames=N_FRAMES, kv_capacity=KV)
+
+    def run_chunk(prefill, state, n):
+        return decode_loop.generate_chunk(
+            tp, cp, prefill, state,
+            talker_cfg=tcfg, cp_cfg=ccfg, chunk_frames=n, max_frames=N_FRAMES,
+            allow_eos=False, **sampling)
 
     def run_vocoder(codes, n):
         return vocoder_model.vocoder_decode(vp, vcfg, codes, jnp.int32(n))
 
-    # --- compile ---
+    # --- compile (4 programs: init, full chunk, ttfa chunk, vocoder) ---
     t0 = time.perf_counter()
-    g = run_generate(N_FRAMES, 0)
-    jax.block_until_ready(g.codes)
+    state, prefill = run_init(0)
+    jax.block_until_ready(state.logits)
+    print(f"prefill compile+run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    state = run_chunk(prefill, state, N_FRAMES)
+    _ = np.asarray(state.codes)
     print(f"generate compile+run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     t0 = time.perf_counter()
-    a = run_vocoder(g.codes, N_FRAMES)
-    jax.block_until_ready(a)
+    a = run_vocoder(state.codes, N_FRAMES)
+    _ = np.asarray(a[:8])
     print(f"vocoder compile+run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    gt = run_generate(TTFA_FRAMES, 0)
-    at = run_vocoder(gt.codes[:TTFA_FRAMES], TTFA_FRAMES)
-    jax.block_until_ready((gt.codes, at))
-
-    # --- timed: generation throughput ---
-    # (np.asarray forces a host transfer of the 16KB code array: on some
-    # remote-execution backends block_until_ready alone returns early)
     t0 = time.perf_counter()
-    g = run_generate(N_FRAMES, 1)
-    jax.block_until_ready(g.codes)
-    codes_host = np.asarray(g.codes)
+    s2, p2 = run_init(1)
+    s2 = run_chunk(p2, s2, TTFA_FRAMES)
+    _ = np.asarray(s2.codes[:1])
+    print(f"ttfa-chunk compile+run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    # --- timed: prefill ---
+    t0 = time.perf_counter()
+    state, prefill = run_init(2)
+    _ = np.asarray(state.logits[:8])
+    t_prefill = time.perf_counter() - t0
+
+    # --- timed: generation throughput (256 frames) ---
+    t0 = time.perf_counter()
+    state = run_chunk(prefill, state, N_FRAMES)
+    _ = np.asarray(state.codes)
     t_gen = time.perf_counter() - t0
-    n_frames = int(g.n_frames)
+    n_frames = int(state.frame)
     frames_per_s = n_frames / t_gen
 
     # --- timed: vocoder ---
     t0 = time.perf_counter()
-    a = run_vocoder(g.codes, n_frames)
-    jax.block_until_ready(a)
+    a = run_vocoder(state.codes, n_frames)
     _ = np.asarray(a[:8])
     t_voc = time.perf_counter() - t0
 
     audio_sec = n_frames * spf / vcfg.sample_rate
-    rtf = audio_sec / (t_gen + t_voc)
+    rtf = audio_sec / (t_prefill + t_gen + t_voc)
 
-    # --- timed: p50 time-to-first-audio (prefill + 16 frames + first chunk) ---
+    # --- timed: p50 time-to-first-audio (streaming path: prefill + 16-frame
+    # chunk + vocoder; all programs already compiled) ---
     ttfas = []
     for seed in range(5):
         t0 = time.perf_counter()
-        gt = run_generate(TTFA_FRAMES, seed)
-        at = run_vocoder(gt.codes[:TTFA_FRAMES], TTFA_FRAMES)
-        jax.block_until_ready(at)
-        _ = np.asarray(at[:8])
+        s, p = run_init(3 + seed)
+        s = run_chunk(p, s, TTFA_FRAMES)
+        a = run_vocoder(s.codes, TTFA_FRAMES)
+        _ = np.asarray(a[: TTFA_FRAMES * spf: spf])
         ttfas.append(time.perf_counter() - t0)
     ttfa_p50 = float(np.median(ttfas))
 
@@ -122,9 +149,11 @@ def main() -> None:
         "vs_baseline": round(rtf / (BASELINE_FRAMES_PER_S * spf / vcfg.sample_rate), 2),
         "frames_per_s": round(frames_per_s, 1),
         "gen_ms_per_frame": round(1e3 * t_gen / n_frames, 2),
+        "prefill_ms": round(t_prefill * 1e3, 1),
         "vocoder_xrt": round(audio_sec / t_voc, 1),
         "ttfa_p50_ms": round(ttfa_p50 * 1e3, 1),
         "n_frames": n_frames,
+        "quant": quant or "bf16",
         "device": str(dev),
     }
     print(json.dumps(result))
