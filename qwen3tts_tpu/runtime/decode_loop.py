@@ -27,6 +27,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import io_callback as _io_callback
 from jax import lax
 
 from ..config import CodePredictorConfig, SamplingConfig, TalkerConfig
@@ -162,8 +163,8 @@ def _make_body(
             talker_params, talker_cfg, step_embd, s.n_past, s.kv)
 
         if progress_cb is not None:
-            jax.experimental.io_callback(
-                progress_cb, None, s.frame + emit.astype(jnp.int32), ordered=False)
+            _io_callback(progress_cb, None, s.frame + emit.astype(jnp.int32),
+                         ordered=False)
 
         return _LoopState(
             frame=s.frame + emit.astype(jnp.int32),
