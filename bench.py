@@ -88,6 +88,15 @@ def main() -> None:
     def run_vocoder(codes, n):
         return vocoder_model.vocoder_decode(vp, vcfg, codes, jnp.int32(n))
 
+    def run_fused(seed):
+        # production non-streaming path: prefill + full frame loop in ONE
+        # dispatch (generate_from_tokens) — the headline measurement
+        return decode_loop.generate_from_tokens(
+            tp, cp, jnp.asarray(tokens), jnp.int32(32), speaker, jnp.int32(2050),
+            jax.random.PRNGKey(seed),
+            talker_cfg=tcfg, cp_cfg=ccfg, max_frames=N_FRAMES, kv_capacity=KV,
+            allow_eos=False, **sampling)
+
     # --- compile (4 programs: init, full chunk, ttfa chunk, vocoder) ---
     t0 = time.perf_counter()
     state, prefill = run_init(0)
@@ -106,29 +115,27 @@ def main() -> None:
     s2 = run_chunk(p2, s2, TTFA_FRAMES)
     _ = np.asarray(s2.codes[:1])
     print(f"ttfa-chunk compile+run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-
-    # --- timed: prefill ---
     t0 = time.perf_counter()
-    state, prefill = run_init(2)
-    _ = np.asarray(state.logits[:8])
-    t_prefill = time.perf_counter() - t0
+    g = run_fused(1)
+    _ = np.asarray(g.codes[:1])
+    print(f"fused compile+run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    # --- timed: generation throughput (256 frames) ---
+    # --- timed: fused generation (prefill + 256 frames, one dispatch) ---
     t0 = time.perf_counter()
-    state = run_chunk(prefill, state, N_FRAMES)
-    _ = np.asarray(state.codes)
+    g = run_fused(2)
+    codes = np.asarray(g.codes)
     t_gen = time.perf_counter() - t0
-    n_frames = int(state.frame)
+    n_frames = int(g.n_frames)
     frames_per_s = n_frames / t_gen
 
     # --- timed: vocoder ---
     t0 = time.perf_counter()
-    a = run_vocoder(state.codes, n_frames)
+    a = run_vocoder(g.codes, n_frames)
     _ = np.asarray(a[:8])
     t_voc = time.perf_counter() - t0
 
     audio_sec = n_frames * spf / vcfg.sample_rate
-    rtf = audio_sec / (t_prefill + t_gen + t_voc)
+    rtf = audio_sec / (t_gen + t_voc)
 
     # --- timed: p50 time-to-first-audio (streaming path: prefill + 16-frame
     # chunk + vocoder; all programs already compiled) ---
@@ -149,7 +156,6 @@ def main() -> None:
         "vs_baseline": round(rtf / (BASELINE_FRAMES_PER_S * spf / vcfg.sample_rate), 2),
         "frames_per_s": round(frames_per_s, 1),
         "gen_ms_per_frame": round(1e3 * t_gen / n_frames, 2),
-        "prefill_ms": round(t_prefill * 1e3, 1),
         "vocoder_xrt": round(audio_sec / t_voc, 1),
         "ttfa_p50_ms": round(ttfa_p50 * 1e3, 1),
         "n_frames": n_frames,
