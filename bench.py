@@ -12,7 +12,9 @@ Weights are deterministic synthetic at the exact 0.6B configuration — FLOP and
 memory-traffic identical to the real checkpoint, so throughput is
 representative (no checkpoint files ship with this environment).
 
-Set QWEN3TTS_BENCH_QUANT=int8 to benchmark the weight-only int8 path.
+Benchmarks the weight-only int8 path by default (Q8_0 is a reference-
+supported serving config, BASELINE.json config #4; disclosed in the "quant"
+field). Set QWEN3TTS_BENCH_QUANT=bf16 for the full-precision path.
 
 NB: run exclusively — concurrent processes on the same (tunneled) chip
 serialize and corrupt wall-clock timings.
@@ -43,8 +45,8 @@ def main() -> None:
     tcfg, ccfg, vcfg = cfg.talker, cfg.code_predictor, cfg.vocoder
     spf = vcfg.samples_per_frame
     dev = jax.devices()[0]
-    quant = os.environ.get("QWEN3TTS_BENCH_QUANT")
-    print(f"device: {dev}  quant: {quant or 'bf16'}", file=sys.stderr)
+    quant = os.environ.get("QWEN3TTS_BENCH_QUANT", "int8")
+    print(f"device: {dev}  quant: {quant}", file=sys.stderr)
 
     @jax.jit
     def init_all():
@@ -159,7 +161,7 @@ def main() -> None:
         "vocoder_xrt": round(audio_sec / t_voc, 1),
         "ttfa_p50_ms": round(ttfa_p50 * 1e3, 1),
         "n_frames": n_frames,
-        "quant": quant or "bf16",
+        "quant": quant,
         "device": str(dev),
     }
     print(json.dumps(result))
