@@ -45,3 +45,18 @@ def test_bf16_inputs():
     got = decode_attention_pallas(q, k, v, jnp.int32(77), block=128, interpret=True)
     np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want, np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_vmap_over_kernel_matches_reference():
+    """Batched serving vmaps the decode attention; the Pallas batching rule
+    must agree with the XLA path per lane."""
+    rng = np.random.default_rng(9)
+    B, Hq, Hkv, D, C = 3, 16, 8, 128, 256
+    q = jnp.asarray(rng.normal(size=(B, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, C, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, C, D)), jnp.float32)
+    n = jnp.asarray([10, 100, 256], jnp.int32)
+    got = jax.vmap(lambda q, k, v, n: decode_attention_pallas(
+        q, k, v, n, interpret=True))(q, k, v, n)
+    want = jax.vmap(decode_attention)(q, k, v, n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
