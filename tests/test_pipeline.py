@@ -188,3 +188,58 @@ def test_streaming_synthesis_matches_full(tts):
     streamed = np.concatenate(chunks)
     assert len(streamed) == full.n_frames * 1920
     np.testing.assert_allclose(streamed, full.audio, rtol=1e-3, atol=2e-3)
+
+
+def test_wav_float32_and_stereo(tmp_path):
+    """Reference WAV reader handles PCM16/PCM32/float32 and downmixes
+    multi-channel (qwen3_tts.cpp:449-588); ours must too."""
+    import struct
+    path = os.path.join(tmp_path, "f32stereo.wav")
+    sr = 24000
+    n = 1000
+    left = np.sin(np.linspace(0, 20, n)).astype(np.float32)
+    right = np.cos(np.linspace(0, 20, n)).astype(np.float32)
+    inter = np.empty(2 * n, np.float32)
+    inter[0::2] = left
+    inter[1::2] = right
+    data = inter.tobytes()
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 3, 2, sr, sr * 8, 8, 32))
+        f.write(b"data" + struct.pack("<I", len(data)) + data)
+    samples, got_sr = load_wav(path)
+    assert got_sr == sr and len(samples) == n
+    np.testing.assert_allclose(samples, (left + right) / 2, atol=1e-6)
+
+
+def test_error_paths():
+    t = Qwen3TTS(tiny_pipeline_config())
+    r = t.synthesize("hi")
+    assert not r.success and "not loaded" in r.error_msg.lower()
+    rs = t.synthesize_batch(["hi"])
+    assert not rs[0].success
+    assert not t.load_models("/nonexistent/path")
+    assert t.error_msg
+
+
+def test_tokenizer_qwen2_regex_mode():
+    from qwen3tts_tpu.text.bpe import synthetic_tokenizer, TextTokenizer
+    base = synthetic_tokenizer()
+    tok = TextTokenizer(base.vocab, list(base.bpe_ranks.keys()), pretokenize="qwen2")
+    ids = tok.encode("Hello, the world 123!")
+    assert ids, "regex mode must produce tokens"
+    assert tok.decode(ids) == "Hello, the world 123!"
+
+
+def test_low_mem_lifecycle(monkeypatch):
+    t = Qwen3TTS(tiny_pipeline_config())
+    t.low_mem = True
+    assert t.load_models(synthetic=True, seed=3)
+    assert t.vocoder_params is None  # deferred in low-mem mode
+    r = t.synthesize("Hi.", SamplingConfig(temperature=0.0, top_k=0, max_audio_tokens=4))
+    assert r.success, r.error_msg
+    # both big param sets dropped after synthesis
+    assert t.talker_params is None and t.vocoder_params is None
+    # and the next call transparently reloads
+    r2 = t.synthesize("Hi.", SamplingConfig(temperature=0.0, top_k=0, max_audio_tokens=4))
+    assert r2.success and np.array_equal(r.codes, r2.codes)
