@@ -46,6 +46,7 @@ def core_config(cfg: CodePredictorConfig) -> CoreConfig:
         head_dim=cfg.head_dim,
         rms_norm_eps=cfg.rms_norm_eps,
         rope_theta=cfg.rope_theta,
+        unroll=cfg.n_layers,  # 5 layers x 15 passes/frame: unroll fully
     )
 
 

@@ -54,6 +54,10 @@ class CoreConfig(NamedTuple):
     head_dim: int
     rms_norm_eps: float
     rope_theta: float
+    # lax.scan unroll factor over layers: small stacks (the 5-layer code
+    # predictor runs 15x per frame) benefit from full unrolling — fewer
+    # loop-iteration boundaries for XLA to schedule across.
+    unroll: int = 1
 
 
 def init_block_params(key: jax.Array, cfg: CoreConfig, hidden: int, ffn: int, dtype) -> BlockParams:
@@ -137,7 +141,7 @@ def forward_prefill(
         x, kv_l_new = _layer(params_l, cfg, x, cos, sin, attend)
         return x, kv_l_new
 
-    x, kv_new = lax.scan(scan_fn, x, (blocks, kv))
+    x, kv_new = lax.scan(scan_fn, x, (blocks, kv), unroll=cfg.unroll)
     return x, kv_new
 
 
@@ -168,5 +172,5 @@ def forward_step(
         x2, kv_l_new = _layer(params_l, cfg, x[None], cos, sin, attend)
         return x2[0], kv_l_new
 
-    x, kv_new = lax.scan(scan_fn, x, (blocks, kv))
+    x, kv_new = lax.scan(scan_fn, x, (blocks, kv), unroll=cfg.unroll)
     return x, kv_new
