@@ -20,8 +20,6 @@ is numerically invisible.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,7 @@ from __future__ import annotations
 import argparse
 import sys
 
-from .config import PipelineConfig, RuntimeConfig, SamplingConfig
+from .config import RuntimeConfig, SamplingConfig
 from .pipeline import LANGUAGE_IDS, Qwen3TTS, save_wav
 
 

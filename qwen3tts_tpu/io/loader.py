@@ -25,7 +25,6 @@ import numpy as np
 
 from ..config import (
     CodePredictorConfig,
-    PipelineConfig,
     SpeakerEncoderConfig,
     TalkerConfig,
     VocoderConfig,

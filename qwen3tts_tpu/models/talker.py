@@ -49,6 +49,8 @@ def core_config(cfg: TalkerConfig) -> CoreConfig:
         head_dim=cfg.head_dim,
         rms_norm_eps=cfg.rms_norm_eps,
         rope_theta=cfg.rope_theta,
+        unroll=4,  # 28 layers: partial unroll cuts loop overhead without
+                   # exploding compile time
     )
 
 

@@ -26,7 +26,7 @@ whole stack is causal, so right-padding frames never corrupts valid samples.
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

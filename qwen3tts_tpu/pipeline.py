@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Callable, Optional, Sequence, Union
+from typing import Callable, Optional, Union
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import io_callback as _io_callback
 from jax import lax
 
-from ..config import CodePredictorConfig, SamplingConfig, TalkerConfig
+from ..config import CodePredictorConfig, TalkerConfig
 from ..models import code_predictor as cp_model
 from ..models import talker as talker_model
 from ..ops.sampling import apply_repetition_penalty, apply_suppression, sample_token
