@@ -245,6 +245,22 @@ class Qwen3TTS:
     # synthesis
     # ------------------------------------------------------------------
 
+    def _fit_tokens(self, tokens):
+        """Pad token ids into a prefill bucket; truncate (with a warning) if
+        the text exceeds the largest configured bucket, preserving the
+        template suffix (the last 5 ids close the chat template)."""
+        import sys
+        rt = self.config.runtime
+        max_b = max(rt.prefill_buckets)
+        if len(tokens) > max_b:
+            print(f"warning: text of {len(tokens)} tokens exceeds the largest "
+                  f"prefill bucket ({max_b}); truncating", file=sys.stderr)
+            tokens = list(tokens[: max_b - 5]) + list(tokens[-5:])
+        Tb = pick_bucket(len(tokens), rt.prefill_buckets)
+        padded = np.zeros((Tb,), np.int32)
+        padded[: len(tokens)] = tokens
+        return padded, len(tokens)
+
     def synthesize(self, text: str, params: SamplingConfig = SamplingConfig()) -> TTSResult:
         """Basic synthesis with the model's default voice (zero x-vector)."""
         speaker = np.zeros((self.config.talker.hidden_size,), np.float32)
@@ -281,6 +297,11 @@ class Qwen3TTS:
             self._load_speaker_encoder()
         cfg = self.config.speaker_encoder
         Sb = pick_bucket(len(samples), self.config.runtime.speaker_buckets)
+        if len(samples) > Sb:
+            import sys
+            print(f"warning: reference audio of {len(samples) / cfg.sample_rate:.1f}s "
+                  f"exceeds the largest speaker bucket "
+                  f"({Sb / cfg.sample_rate:.0f}s); truncating", file=sys.stderr)
         buf = np.zeros((Sb,), np.float32)
         buf[: min(len(samples), Sb)] = samples[:Sb]
         emb = _speaker_embed_jit(
@@ -314,9 +335,7 @@ class Qwen3TTS:
         if self.talker_params is None:
             self._load_talker()
         t0 = now_ms()
-        Tb = pick_bucket(len(tokens), rt.prefill_buckets)
-        padded = np.zeros((Tb,), np.int32)
-        padded[: len(tokens)] = tokens
+        padded, n_tok = self._fit_tokens(tokens)
         max_frames = pick_bucket(params.max_audio_tokens, rt.frame_buckets)
         # round capacity up to the Pallas attention block size (128)
         kv_capacity = -(-(10 + max_frames + rt.kv_margin) // 256) * 256
@@ -331,7 +350,7 @@ class Qwen3TTS:
 
         gen = decode_loop.generate_from_tokens(
             self.talker_params, self.cp_params,
-            jnp.asarray(padded), jnp.int32(len(tokens)),
+            jnp.asarray(padded), jnp.int32(n_tok),
             jnp.asarray(speaker, jnp.float32), jnp.int32(params.language_id),
             jax.random.PRNGKey(params.seed),
             talker_cfg=tcfg, cp_cfg=ccfg,
@@ -389,12 +408,13 @@ class Qwen3TTS:
 
         t_total0 = now_ms()
         token_lists = [self.tokenizer.encode_for_tts(t) for t in texts]
-        Tb = pick_bucket(max(len(t) for t in token_lists), rt.prefill_buckets)
+        fitted = [self._fit_tokens(ids) for ids in token_lists]
+        Tb = max(p.shape[0] for p, _ in fitted)
         tokens = np.zeros((B, Tb), np.int32)
         n_tok = np.zeros((B,), np.int32)
-        for i, ids in enumerate(token_lists):
-            tokens[i, : len(ids)] = ids
-            n_tok[i] = len(ids)
+        for i, (p_i, n_i) in enumerate(fitted):
+            tokens[i, : p_i.shape[0]] = p_i
+            n_tok[i] = n_i
         max_frames = pick_bucket(params.max_audio_tokens, rt.frame_buckets)
         kv_capacity = -(-(10 + max_frames + rt.kv_margin) // 256) * 256
 
@@ -450,9 +470,7 @@ class Qwen3TTS:
             speaker = np.zeros((tcfg.hidden_size,), np.float32)
 
         tokens = self.tokenizer.encode_for_tts(text)
-        Tb = pick_bucket(len(tokens), rt.prefill_buckets)
-        padded = np.zeros((Tb,), np.int32)
-        padded[: len(tokens)] = tokens
+        padded, n_tok = self._fit_tokens(tokens)
         max_frames = pick_bucket(params.max_audio_tokens, rt.frame_buckets)
         kv_capacity = -(-(10 + max_frames + rt.kv_margin) // 256) * 256
 
@@ -463,7 +481,7 @@ class Qwen3TTS:
 
         state, prefill = decode_loop.generate_init(
             self.talker_params, self.cp_params,
-            jnp.asarray(padded), jnp.int32(len(tokens)),
+            jnp.asarray(padded), jnp.int32(n_tok),
             jnp.asarray(speaker, jnp.float32), jnp.int32(params.language_id),
             jax.random.PRNGKey(params.seed),
             talker_cfg=tcfg, cp_cfg=ccfg,

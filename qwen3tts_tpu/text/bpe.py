@@ -108,7 +108,20 @@ class TextTokenizer:
                 vocab.setdefault(added["content"], added["id"])
         else:
             raise FileNotFoundError(f"no vocab.json or tokenizer.json under {model_dir}")
-        return cls(vocab, merges, **kw)
+        tok = cls(vocab, merges, **kw)
+        # special-token overrides from tokenizer_config.json (the reference
+        # converter reads eos/pad from there, convert_tts_to_gguf.py:492-517)
+        cfg_path = os.path.join(model_dir, "tokenizer_config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path, encoding="utf-8") as f:
+                tc = json.load(f)
+            for attr, key in (("eos_token_id", "eos_token"), ("pad_token_id", "pad_token")):
+                t = tc.get(key)
+                if isinstance(t, dict):
+                    t = t.get("content")
+                if t and t in vocab:
+                    setattr(tok, attr, vocab[t])
+        return tok
 
     @classmethod
     def from_gguf(cls, reader, **kw) -> "TextTokenizer":

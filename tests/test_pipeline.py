@@ -243,3 +243,9 @@ def test_low_mem_lifecycle(monkeypatch):
     # and the next call transparently reloads
     r2 = t.synthesize("Hi.", SamplingConfig(temperature=0.0, top_k=0, max_audio_tokens=4))
     assert r2.success and np.array_equal(r.codes, r2.codes)
+
+
+def test_overlong_text_truncates_not_crashes(tts):
+    long_text = "hello " * 200
+    r = tts.synthesize(long_text, SamplingConfig(temperature=0.0, top_k=0, max_audio_tokens=4))
+    assert r.success, r.error_msg
