@@ -137,3 +137,88 @@ def config_from_model_dir(model_dir: Optional[str],
         speaker_encoder=speaker,
         runtime=base.runtime,
     )
+
+
+def infer_vocoder_config(st, base: Optional[VocoderConfig] = None) -> VocoderConfig:
+    """Derive vocoder dimensions from checkpoint tensor shapes — the same
+    strategy the reference uses for this model (it ggml_dup_tensor's from
+    GGUF metadata instead of hand-specifying shapes,
+    audio_tokenizer_decoder.cpp:118-316). config.json keys for several of
+    these dims are unreliable (e.g. decoder_config.codebook_dim says 512
+    while the rvq codebooks are 256-wide)."""
+    base = base or VocoderConfig()
+
+    def shape(name):
+        return tuple(st.tensor(name).shape)
+
+    hidden_dim, codebook_dim, _ = shape("decoder.quantizer.rvq_first.output_proj.weight")
+    codebook_size = shape("decoder.quantizer.rvq_first.vq.layers.0._codebook.embedding_sum")[0]
+    latent_dim = shape("decoder.pre_conv.conv.weight")[0]
+    pre_tfm_width = shape("decoder.pre_transformer.input_proj.weight")[0]
+    qkv = shape("decoder.pre_transformer.layers.0.self_attn.q_proj.weight")[0]
+    ffn = shape("decoder.pre_transformer.layers.0.mlp.gate_proj.weight")[0]
+    n_pt = 0
+    while f"decoder.pre_transformer.layers.{n_pt}.input_layernorm.weight" in st:
+        n_pt += 1
+    n_cnx = 0
+    while f"decoder.upsample.{n_cnx}.0.conv.weight" in st:
+        n_cnx += 1
+    mlp = shape("decoder.upsample.0.1.pwconv1.weight")[0]
+    decoder_dim = shape("decoder.decoder.0.conv.weight")[0]
+    rates = []
+    b = 1
+    while f"decoder.decoder.{b}.block.1.conv.weight" in st:
+        k = shape(f"decoder.decoder.{b}.block.1.conv.weight")[2]
+        rates.append(k // 2)  # kernel = 2 * stride in this family
+        b += 1
+    n_cb = 1
+    while f"decoder.quantizer.rvq_rest.vq.layers.{n_cb - 1}._codebook.embedding_sum" in st:
+        n_cb += 1
+    return dataclasses.replace(
+        base,
+        n_codebooks=n_cb,
+        codebook_size=codebook_size,
+        codebook_dim=codebook_dim,
+        hidden_dim=hidden_dim,
+        latent_dim=latent_dim,
+        pre_tfm_width=pre_tfm_width,
+        pre_tfm_qkv_dim=qkv,
+        pre_tfm_ffn_dim=ffn,
+        n_pre_tfm_layers=n_pt,
+        n_convnext=n_cnx,
+        convnext_mlp_dim=mlp,
+        decoder_dim=decoder_dim,
+        upsample_rates=tuple(rates),
+    )
+
+
+def infer_speaker_config(st, base: Optional[SpeakerEncoderConfig] = None) -> SpeakerEncoderConfig:
+    """Derive ECAPA dimensions from tensor shapes (mel parameters are a fixed
+    convention of the model family, audio_tokenizer_encoder.h:16-28)."""
+    base = base or SpeakerEncoderConfig()
+
+    def shape(name):
+        return tuple(st.tensor(name).shape)
+
+    hidden, n_mels, _k = shape("speaker_encoder.blocks.0.conv.weight")
+    n_blocks = 0
+    while f"speaker_encoder.blocks.{n_blocks + 1}.tdnn1.conv.weight" in st:
+        n_blocks += 1
+    scale = 1
+    while f"speaker_encoder.blocks.1.res2net_block.blocks.{scale - 1}.conv.weight" in st:
+        scale += 1
+    se_dim = shape("speaker_encoder.blocks.1.se_block.conv1.weight")[0]
+    attention_dim = shape("speaker_encoder.asp.tdnn.conv.weight")[0]
+    mfa_dim = shape("speaker_encoder.mfa.conv.weight")[0]
+    embedding_dim = shape("speaker_encoder.fc.weight")[0]
+    return dataclasses.replace(
+        base,
+        n_mels=n_mels,
+        hidden_dim=hidden,
+        n_blocks=n_blocks,
+        res2net_scale=scale,
+        se_dim=se_dim,
+        attention_dim=attention_dim,
+        mfa_dim=mfa_dim,
+        embedding_dim=embedding_dim,
+    )

@@ -215,8 +215,12 @@ class Qwen3TTS:
             self.vocoder_params = vocoder_model.init_vocoder_params(
                 jax.random.PRNGKey(self._synthetic_seed + 1), cfg.vocoder, jnp.float32)
         else:
+            from .io.config_io import infer_vocoder_config
             st = self._open_vocoder_checkpoint()
-            self.vocoder_params = loader_mod.load_vocoder(st, cfg.vocoder, jnp.float32)
+            vcfg = infer_vocoder_config(st, cfg.vocoder)
+            if vcfg != cfg.vocoder:
+                self.config = dataclasses.replace(self.config, vocoder=vcfg)
+            self.vocoder_params = loader_mod.load_vocoder(st, vcfg, jnp.float32)
 
     def _load_speaker_encoder(self):
         cfg = self.config
@@ -224,8 +228,12 @@ class Qwen3TTS:
             self.speaker_params = se_model.init_speaker_encoder_params(
                 jax.random.PRNGKey(self._synthetic_seed + 2), cfg.speaker_encoder, jnp.float32)
         else:
+            from .io.config_io import infer_speaker_config
             st = self._open_tts_checkpoint()
-            self.speaker_params = loader_mod.load_speaker_encoder(st, cfg.speaker_encoder, jnp.float32)
+            scfg = infer_speaker_config(st, cfg.speaker_encoder)
+            if scfg != cfg.speaker_encoder:
+                self.config = dataclasses.replace(self.config, speaker_encoder=scfg)
+            self.speaker_params = loader_mod.load_speaker_encoder(st, scfg, jnp.float32)
         self._mel_fb = jnp.asarray(mel_mod.slaney_mel_filterbank(cfg.speaker_encoder))
         self._mel_win = jnp.asarray(mel_mod.centered_hann(cfg.speaker_encoder))
 

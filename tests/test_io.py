@@ -191,3 +191,67 @@ def test_pipeline_loads_gguf_model_dir(hf_dirs, tmp_path):
     result = tts.synthesize("Hi", SamplingConfig(temperature=0.0, top_k=0, max_audio_tokens=4))
     assert result.success, result.error_msg
     assert len(result.audio) == result.n_frames * 1920
+
+
+def test_from_pretrained_with_config_json(hf_dirs):
+    """from_pretrained reads hyperparameters from config.json and loads the
+    checkpoint end-to-end."""
+    import json
+    tts_dir, tok_dir = hf_dirs
+    t = CFG.talker
+    with open(os.path.join(tts_dir, "config.json"), "w") as f:
+        json.dump({
+            "talker_config": {
+                "text_vocab_size": t.text_vocab_size,
+                "text_hidden_size": t.text_embd_dim,
+                "hidden_size": t.hidden_size,
+                "num_hidden_layers": t.n_layers,
+                "num_attention_heads": t.n_heads,
+                "num_key_value_heads": t.n_kv_heads,
+                "head_dim": t.head_dim,
+                "intermediate_size": t.intermediate_size,
+                "vocab_size": t.codec_vocab_size,
+                "tts_bos_token_id": t.tts_bos_token_id,
+                "tts_eos_token_id": t.tts_eos_token_id,
+                "tts_pad_token_id": t.tts_pad_token_id,
+                "code_predictor_config": {
+                    "num_hidden_layers": CFG.code_predictor.n_layers,
+                    "num_attention_heads": CFG.code_predictor.n_heads,
+                    "num_key_value_heads": CFG.code_predictor.n_kv_heads,
+                    "head_dim": CFG.code_predictor.head_dim,
+                    "intermediate_size": CFG.code_predictor.intermediate_size,
+                },
+            },
+            "speaker_encoder_config": {"enc_dim": CFG.speaker_encoder.embedding_dim},
+        }, f)
+    v = CFG.vocoder
+    with open(os.path.join(tok_dir, "config.json"), "w") as f:
+        json.dump({"decoder_config": {
+            "num_quantizers": v.n_codebooks, "codebook_size": v.codebook_size,
+            "latent_dim": v.latent_dim, "hidden_size": v.hidden_dim,
+            "num_hidden_layers": v.n_pre_tfm_layers,
+            "num_attention_heads": v.n_heads,
+            "upsample_rates": list(v.upsample_rates),
+        }}, f)
+    # hf_dirs' parent is the model dir containing both checkpoints
+    model_dir = os.path.dirname(tts_dir)
+    # vocab.json written by the earlier gguf test may or may not exist; make one
+    from qwen3tts_tpu.text.bpe import bytes_to_unicode
+    uni = bytes_to_unicode()
+    vocab = {uni[b]: b for b in range(256)}
+    for i, sp in enumerate(("<|im_start|>", "<|im_end|>", "assistant")):
+        vocab[sp] = 256 + i
+    with open(os.path.join(tts_dir, "vocab.json"), "w") as f:
+        json.dump(vocab, f)
+
+    from qwen3tts_tpu.pipeline import Qwen3TTS
+    from qwen3tts_tpu.config import SamplingConfig, RuntimeConfig
+    import dataclasses
+    # note: the fixture's vocoder dims don't match the 0.6B defaults, so the
+    # config.json parsing is what makes this load at all
+    tts = Qwen3TTS.from_pretrained(model_dir, runtime=dataclasses.replace(
+        RuntimeConfig(dtype="float32"),
+        prefill_buckets=(16, 32), frame_buckets=(8,), vocoder_buckets=(8, 16)))
+    assert tts.config.talker.n_layers == CFG.talker.n_layers
+    r = tts.synthesize("Hi", SamplingConfig(temperature=0.0, top_k=0, max_audio_tokens=4))
+    assert r.success, r.error_msg
