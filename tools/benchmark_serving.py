@@ -52,6 +52,11 @@ def main() -> int:
                 vocoder_model.init_vocoder_params(k3, vcfg, jnp.bfloat16))
 
     tp, cp, vp = jax.block_until_ready(init_all())
+    if os.environ.get("QWEN3TTS_BENCH_QUANT", "int8") == "int8":
+        from qwen3tts_tpu.ops.quant import quantize_block_params
+        tp = tp._replace(blocks=quantize_block_params(tp.blocks))
+        cp = cp._replace(blocks=quantize_block_params(cp.blocks))
+        jax.block_until_ready((tp.blocks.wqkv.q, cp.blocks.wqkv.q))
 
     B = args.batch
     Tb = 64
@@ -74,11 +79,14 @@ def main() -> int:
     # batched wrapper); with synthetic weights EOS is ~1/2049 per frame per
     # lane, so report actual emitted frames.
     g = run_batched(args.frames)
-    jax.block_until_ready(g.codes)  # compile
-    t0 = time.perf_counter()
-    g = run_batched(args.frames)
-    jax.block_until_ready(g.codes)
-    t = time.perf_counter() - t0
+    _ = np.asarray(g.codes)  # compile (asarray: block_until_ready alone has
+    # been observed returning early over the remote-execution tunnel)
+    t = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        g = run_batched(args.frames)
+        _ = np.asarray(g.codes)
+        t = min(t, time.perf_counter() - t0)
     total_frames = int(np.asarray(g.n_frames).sum())
     print(json.dumps({
         "scenario": "batched", "batch": B, "frames_total": total_frames,
@@ -112,7 +120,7 @@ def main() -> int:
 
         t0 = time.perf_counter()
         g = run_long(args.long)
-        jax.block_until_ready(g.codes)
+        _ = np.asarray(g.codes[:1])
         t_gen = time.perf_counter() - t0
         codes = np.asarray(g.codes)
         t0 = time.perf_counter()
