@@ -37,14 +37,21 @@ def bytes_to_unicode() -> Dict[int, str]:
 _BYTE_TO_UNI = bytes_to_unicode()
 _UNI_TO_BYTE = {v: k for k, v in _BYTE_TO_UNI.items()}
 
-# Qwen2 / GPT-2-style pre-tokenization regex, approximated with stdlib `re`
-# (the real pattern uses \p{L}/\p{N}; Python's re lacks Unicode property
-# classes, so word chars approximate \p{L} and digits \p{N}).
-_QWEN2_SPLIT = re.compile(
-    r"""'(?:[sdmt]|ll|ve|re)|[^\r\n0-9\W]+|[0-9]{1,3}|"""
-    r""" ?[^\s\w0-9]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+""",
-    re.UNICODE,
-)
+# Qwen2 pre-tokenization pattern. The exact pattern needs Unicode property
+# classes (\p{L}/\p{N}); use the `regex` module when available and fall back
+# to a stdlib-`re` approximation otherwise.
+try:
+    import regex as _regex
+
+    _QWEN2_SPLIT = _regex.compile(
+        r"""(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}|"""
+        r""" ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+""")
+except ImportError:
+    _QWEN2_SPLIT = re.compile(
+        r"""'(?:[sdmt]|ll|ve|re)|[^\r\n0-9\W]+|[0-9]{1,3}|"""
+        r""" ?[^\s\w0-9]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+""",
+        re.UNICODE,
+    )
 
 
 class TextTokenizer:
