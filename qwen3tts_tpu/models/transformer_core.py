@@ -119,30 +119,35 @@ def forward_prefill(
     """Run the full stack over a (padded) prefill window, writing K/V into the
     cache at [n_past, n_past+P). Returns (hidden [P, H] pre-output-norm, kv).
 
-    The cache is head-major [Hkv, C, D]: per-head time-contiguous reads for
-    both the XLA decode einsum and the Pallas kernel's (1, BLOCK, D) tiles."""
+    The cache is head-major [Hkv, C, D] per layer and is threaded through the
+    layer scan as part of the CARRY (not xs/ys): dynamic_update_slice on a
+    dead carry operand updates in place, whereas scanning per-layer cache
+    slices as xs forces XLA to materialize a fresh [2, Hkv, C, D] copy per
+    layer — ~1 GB/frame at a 4k-frame budget."""
     cos, sin = rope_for_positions(positions, cfg.head_dim, cfg.rope_theta)
+    L = kv.shape[0]
 
     def scan_fn(carry, layer_in):
-        x = carry
-        params_l, kv_l = layer_in
+        x, kv = carry
+        params_l, li = layer_in
 
         def attend(q, k, v):
-            k_cache = lax.dynamic_update_slice(
-                kv_l[0], k.transpose(1, 0, 2).astype(kv_l.dtype), (0, n_past, 0))
-            v_cache = lax.dynamic_update_slice(
-                kv_l[1], v.transpose(1, 0, 2).astype(kv_l.dtype), (0, n_past, 0))
+            upd = jnp.stack([k.transpose(1, 0, 2), v.transpose(1, 0, 2)])
+            kv_new = lax.dynamic_update_slice(
+                kv, upd[None].astype(kv.dtype), (li, 0, 0, n_past, 0))
             # Prefill always starts from an empty cache in this pipeline
             # (reference clears the cache before forward_prefill), so causal
             # attention over the window itself is sufficient.
             o = attn_ops.prefill_attention(q, k, v, valid_len=valid_len)
-            return o, jnp.stack([k_cache, v_cache])
+            return o, kv_new
 
-        x, kv_l_new = _layer(params_l, cfg, x, cos, sin, attend)
-        return x, kv_l_new
+        x, kv = _layer(params_l, cfg, x, cos, sin, attend)
+        return (x, kv), None
 
-    x, kv_new = lax.scan(scan_fn, x, (blocks, kv), unroll=cfg.unroll)
-    return x, kv_new
+    (x, kv), _ = lax.scan(scan_fn, (x, kv),
+                          (blocks, jnp.arange(L, dtype=jnp.int32)),
+                          unroll=cfg.unroll)
+    return x, kv
 
 
 def forward_step(
@@ -153,24 +158,28 @@ def forward_step(
     kv: jnp.ndarray,         # [L, 2, Hkv, C, D] head-major
 ):
     """Single-token decode step; K/V written at position n_past; attention over
-    cache[0:n_past+1]. Returns (hidden [H] pre-output-norm, kv)."""
+    cache[0:n_past+1]. Returns (hidden [H] pre-output-norm, kv). The cache is
+    carry-threaded (see forward_prefill) and attention reads it through a
+    layer-indexed dispatch so neither path materializes per-layer slices."""
     pos = jnp.asarray(n_past, jnp.int32)[None]
     cos, sin = rope_for_positions(pos, cfg.head_dim, cfg.rope_theta)
+    L = kv.shape[0]
 
     def scan_fn(carry, layer_in):
-        x = carry
-        params_l, kv_l = layer_in
+        x, kv = carry
+        params_l, li = layer_in
 
         def attend(q, k, v):
-            k_cache = lax.dynamic_update_slice(
-                kv_l[0], k.transpose(1, 0, 2).astype(kv_l.dtype), (0, n_past, 0))
-            v_cache = lax.dynamic_update_slice(
-                kv_l[1], v.transpose(1, 0, 2).astype(kv_l.dtype), (0, n_past, 0))
-            o = attn_ops.decode_attention_auto(q[0], k_cache, v_cache, n_past + 1)
-            return o[None], jnp.stack([k_cache, v_cache])
+            upd = jnp.stack([k.transpose(1, 0, 2), v.transpose(1, 0, 2)])
+            kv_new = lax.dynamic_update_slice(
+                kv, upd[None].astype(kv.dtype), (li, 0, 0, n_past, 0))
+            o = attn_ops.decode_attention_layered(q[0], kv_new, li, n_past + 1)
+            return o[None], kv_new
 
-        x2, kv_l_new = _layer(params_l, cfg, x[None], cos, sin, attend)
-        return x2[0], kv_l_new
+        x2, kv = _layer(params_l, cfg, x[None], cos, sin, attend)
+        return (x2[0], kv), None
 
-    x, kv_new = lax.scan(scan_fn, x, (blocks, kv), unroll=cfg.unroll)
-    return x, kv_new
+    (x, kv), _ = lax.scan(scan_fn, (x, kv),
+                          (blocks, jnp.arange(L, dtype=jnp.int32)),
+                          unroll=cfg.unroll)
+    return x, kv

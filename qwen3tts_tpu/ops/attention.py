@@ -50,6 +50,27 @@ def prefill_attention(
     return out.reshape(P, Hq, D)
 
 
+def decode_attention_layered(
+    q: jnp.ndarray,        # [Hq, D]
+    kv: jnp.ndarray,       # [L, 2, Hkv, C, D] full head-major cache
+    layer: jnp.ndarray,    # scalar int32 layer index
+    n_valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """Decode attention reading the FULL layer-stacked cache at a dynamic
+    layer index. The Pallas kernel indexes the layer in its block index map
+    (zero-copy); the XLA path reads kv[layer] as a dynamic-slice that fuses
+    into the einsum."""
+    from .pallas_attention import decode_attention_pallas_layered, use_pallas_decode
+
+    L, _, Hkv, C, D = kv.shape
+    block = 256 if C % 256 == 0 else 128
+    MIN_PALLAS_CAPACITY = 1024
+    if (use_pallas_decode() and C % block == 0 and C >= MIN_PALLAS_CAPACITY
+            and D % 128 == 0 and q.shape[0] % Hkv == 0):
+        return decode_attention_pallas_layered(q, kv, layer, n_valid, block=block)
+    return decode_attention(q, kv[layer, 0], kv[layer, 1], n_valid)
+
+
 def decode_attention_auto(
     q: jnp.ndarray,
     k_cache: jnp.ndarray,

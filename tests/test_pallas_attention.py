@@ -60,3 +60,18 @@ def test_vmap_over_kernel_matches_reference():
         q, k, v, n, interpret=True))(q, k, v, n)
     want = jax.vmap(decode_attention)(q, k, v, n)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
+
+
+def test_layered_kernel_matches_reference():
+    from qwen3tts_tpu.ops.pallas_attention import decode_attention_pallas_layered
+    rng = np.random.default_rng(12)
+    L, Hq, Hkv, D, C = 3, 16, 8, 128, 256
+    kv = jnp.asarray(rng.normal(size=(L, 2, Hkv, C, D)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(Hq, D)), jnp.float32)
+    for li in range(L):
+        for n in (1, 130, 256):
+            want = decode_attention(q, kv[li, 0], kv[li, 1], jnp.int32(n))
+            got = decode_attention_pallas_layered(
+                q, kv, jnp.int32(li), jnp.int32(n), block=128, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-5, atol=2e-5)
