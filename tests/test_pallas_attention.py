@@ -75,3 +75,18 @@ def test_layered_kernel_matches_reference():
                 q, kv, jnp.int32(li), jnp.int32(n), block=128, interpret=True)
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                        rtol=2e-5, atol=2e-5)
+
+
+def test_layered_kernel_under_vmap():
+    from qwen3tts_tpu.ops.pallas_attention import decode_attention_pallas_layered
+    rng = np.random.default_rng(13)
+    B, L, Hq, Hkv, D, C = 2, 2, 16, 8, 128, 256
+    kv = jnp.asarray(rng.normal(size=(B, L, 2, Hkv, C, D)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(B, Hq, D)), jnp.float32)
+    li = jnp.asarray([0, 1], jnp.int32)
+    n = jnp.asarray([100, 256], jnp.int32)
+    got = jax.vmap(lambda q, kv, li, n: decode_attention_pallas_layered(
+        q, kv, li, n, block=128, interpret=True))(q, kv, li, n)
+    want = jax.vmap(lambda q, kv, li, n: decode_attention(
+        q, kv[li, 0], kv[li, 1], n))(q, kv, li, n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
