@@ -37,14 +37,40 @@ def convert(input_dir: str, output: str, out_type: str, kind: str) -> None:
     w = GGUFWriter(arch)
     w.add_meta("general.name", T_STR, "Qwen3-TTS-12Hz-0.6B" if kind == "tts" else "Qwen3-TTS-Tokenizer-12Hz")
     if kind == "tts":
-        w.add_meta(f"{arch}.block_count", T_U32, 28)
-        w.add_meta(f"{arch}.embedding_length", T_U32, 1024)
-        w.add_meta(f"{arch}.vocab_size", T_U32, 3072)
-        w.add_meta(f"{arch}.text_vocab_size", T_U32, 151936)
-        w.add_meta(f"{arch}.num_code_groups", T_U32, 16)
-        w.add_meta(f"{arch}.code_predictor.layer_count", T_U32, 5)
-        w.add_meta(f"{arch}.code_predictor.vocab_size", T_U32, 2048)
-        w.add_meta(f"{arch}.rope.freq_base", T_F32, 1e6)
+        # full metadata key set the reference's parse_config reads
+        # (tts_transformer.cpp:212-344 / convert_tts_to_gguf.py:440-471)
+        from qwen3tts_tpu.io.config_io import config_from_model_dir
+        cfg = config_from_model_dir(os.path.dirname(os.path.abspath(input_dir)))
+        t, cpred, spk = cfg.talker, cfg.code_predictor, cfg.speaker_encoder
+        cj = os.path.join(input_dir, "config.json")
+        if os.path.exists(cj):
+            import json as _json
+            from qwen3tts_tpu.io.config_io import talker_config_from_json, speaker_config_from_json
+            with open(cj) as f:
+                data = _json.load(f)
+            t, cpred = talker_config_from_json(data)
+            spk = speaker_config_from_json(data)
+        w.add_meta(f"{arch}.block_count", T_U32, t.n_layers)
+        w.add_meta(f"{arch}.embedding_length", T_U32, t.hidden_size)
+        w.add_meta(f"{arch}.feed_forward_length", T_U32, t.intermediate_size)
+        w.add_meta(f"{arch}.attention.head_count", T_U32, t.n_heads)
+        w.add_meta(f"{arch}.attention.head_count_kv", T_U32, t.n_kv_heads)
+        w.add_meta(f"{arch}.attention.key_length", T_U32, t.head_dim)
+        w.add_meta(f"{arch}.attention.value_length", T_U32, t.head_dim)
+        w.add_meta(f"{arch}.attention.layer_norm_rms_epsilon", T_F32, t.rms_norm_eps)
+        w.add_meta(f"{arch}.rope.freq_base", T_F32, t.rope_theta)
+        w.add_meta(f"{arch}.rope.mrope_section", (9, T_U32), list(t.mrope_section))
+        w.add_meta(f"{arch}.vocab_size", T_U32, t.codec_vocab_size)
+        w.add_meta(f"{arch}.text_vocab_size", T_U32, t.text_vocab_size)
+        w.add_meta(f"{arch}.text_hidden_size", T_U32, t.text_embd_dim)
+        w.add_meta(f"{arch}.num_code_groups", T_U32, t.n_codebooks)
+        w.add_meta(f"{arch}.code_predictor.layer_count", T_U32, cpred.n_layers)
+        w.add_meta(f"{arch}.code_predictor.vocab_size", T_U32, cpred.vocab_size)
+        w.add_meta(f"{arch}.speaker_encoder.embedding_length", T_U32, spk.embedding_dim)
+        w.add_meta(f"{arch}.speaker_encoder.sample_rate", T_U32, spk.sample_rate)
+        w.add_meta(f"{arch}.codec.pad_id", T_U32, t.codec_pad_id)
+        w.add_meta(f"{arch}.codec.bos_id", T_U32, t.codec_bos_id)
+        w.add_meta(f"{arch}.codec.eos_id", T_U32, t.codec_eos_id)
     else:
         w.add_meta(f"{arch}.num_codebooks", T_U32, 16)
         w.add_meta(f"{arch}.codebook_size", T_U32, 2048)
