@@ -335,8 +335,8 @@ class Qwen3TTS:
         t0 = now_ms()
         tokens = self.tokenizer.encode_for_tts(text)
         result.timings.t_tokenize_ms = now_ms() - t0
-        if len(tokens) < 10:
-            result.error_msg = "Need at least 10 formatted tokens"
+        if len(tokens) < 9:  # chat template (8) + at least one text token
+            result.error_msg = "Text produced no tokens"
             return result
 
         # 2. generate codes (fused on-device loop)

@@ -249,3 +249,10 @@ def test_overlong_text_truncates_not_crashes(tts):
     long_text = "hello " * 200
     r = tts.synthesize(long_text, SamplingConfig(temperature=0.0, top_k=0, max_audio_tokens=4))
     assert r.success, r.error_msg
+
+
+def test_single_token_text_works(tts):
+    r = tts.synthesize("a", SamplingConfig(temperature=0.0, top_k=0, max_audio_tokens=4))
+    assert r.success, r.error_msg
+    r2 = tts.synthesize("", SamplingConfig(temperature=0.0, top_k=0, max_audio_tokens=4))
+    assert not r2.success
