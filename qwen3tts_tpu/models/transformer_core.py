@@ -107,6 +107,15 @@ def _layer(params, cfg: CoreConfig, x, cos, sin, attend):
     return x, kv_out
 
 
+# Cache-update strategy threshold: at small capacities the xs/ys scheme's
+# per-layer cache copies are cheap (~0.13 GB/frame at C=512) and XLA
+# schedules it better (measured 3.1 vs 4.2 ms/frame); at large capacities the
+# copies dominate (~1 GB/frame at C=4352: 8.6 vs 4.4 ms/frame) and the
+# carry-threaded scheme with in-place updates + the layer-indexed Pallas
+# kernel wins. Chosen statically per compiled bucket.
+CARRY_THRESHOLD = 1024
+
+
 def forward_prefill(
     blocks: BlockParams,
     cfg: CoreConfig,
@@ -117,14 +126,37 @@ def forward_prefill(
     n_past: int | jnp.ndarray = 0,
 ):
     """Run the full stack over a (padded) prefill window, writing K/V into the
-    cache at [n_past, n_past+P). Returns (hidden [P, H] pre-output-norm, kv).
-
-    The cache is head-major [Hkv, C, D] per layer and is threaded through the
-    layer scan as part of the CARRY (not xs/ys): dynamic_update_slice on a
-    dead carry operand updates in place, whereas scanning per-layer cache
-    slices as xs forces XLA to materialize a fresh [2, Hkv, C, D] copy per
-    layer — ~1 GB/frame at a 4k-frame budget."""
+    cache at [n_past, n_past+P). Returns (hidden [P, H] pre-output-norm, kv)."""
     cos, sin = rope_for_positions(positions, cfg.head_dim, cfg.rope_theta)
+    if kv.shape[3] >= CARRY_THRESHOLD:
+        return _forward_prefill_carried(blocks, cfg, x, cos, sin, valid_len, kv, n_past)
+    return _forward_prefill_sliced(blocks, cfg, x, cos, sin, valid_len, kv, n_past)
+
+
+def _forward_prefill_sliced(blocks, cfg, x, cos, sin, valid_len, kv, n_past):
+    def scan_fn(carry, layer_in):
+        x = carry
+        params_l, kv_l = layer_in
+
+        def attend(q, k, v):
+            k_cache = lax.dynamic_update_slice(
+                kv_l[0], k.transpose(1, 0, 2).astype(kv_l.dtype), (0, n_past, 0))
+            v_cache = lax.dynamic_update_slice(
+                kv_l[1], v.transpose(1, 0, 2).astype(kv_l.dtype), (0, n_past, 0))
+            # Prefill always starts from an empty cache in this pipeline
+            # (the reference clears it first), so causal attention over the
+            # window itself is sufficient.
+            o = attn_ops.prefill_attention(q, k, v, valid_len=valid_len)
+            return o, jnp.stack([k_cache, v_cache])
+
+        x, kv_l_new = _layer(params_l, cfg, x, cos, sin, attend)
+        return x, kv_l_new
+
+    x, kv_new = lax.scan(scan_fn, x, (blocks, kv), unroll=cfg.unroll)
+    return x, kv_new
+
+
+def _forward_prefill_carried(blocks, cfg, x, cos, sin, valid_len, kv, n_past):
     L = kv.shape[0]
 
     def scan_fn(carry, layer_in):
@@ -135,9 +167,6 @@ def forward_prefill(
             upd = jnp.stack([k.transpose(1, 0, 2), v.transpose(1, 0, 2)])
             kv_new = lax.dynamic_update_slice(
                 kv, upd[None].astype(kv.dtype), (li, 0, 0, n_past, 0))
-            # Prefill always starts from an empty cache in this pipeline
-            # (reference clears the cache before forward_prefill), so causal
-            # attention over the window itself is sufficient.
             o = attn_ops.prefill_attention(q, k, v, valid_len=valid_len)
             return o, kv_new
 
@@ -158,11 +187,35 @@ def forward_step(
     kv: jnp.ndarray,         # [L, 2, Hkv, C, D] head-major
 ):
     """Single-token decode step; K/V written at position n_past; attention over
-    cache[0:n_past+1]. Returns (hidden [H] pre-output-norm, kv). The cache is
-    carry-threaded (see forward_prefill) and attention reads it through a
-    layer-indexed dispatch so neither path materializes per-layer slices."""
+    cache[0:n_past+1]. Returns (hidden [H] pre-output-norm, kv)."""
     pos = jnp.asarray(n_past, jnp.int32)[None]
     cos, sin = rope_for_positions(pos, cfg.head_dim, cfg.rope_theta)
+    if kv.shape[3] >= CARRY_THRESHOLD:
+        return _forward_step_carried(blocks, cfg, x, cos, sin, n_past, kv)
+    return _forward_step_sliced(blocks, cfg, x, cos, sin, n_past, kv)
+
+
+def _forward_step_sliced(blocks, cfg, x, cos, sin, n_past, kv):
+    def scan_fn(carry, layer_in):
+        x = carry
+        params_l, kv_l = layer_in
+
+        def attend(q, k, v):
+            k_cache = lax.dynamic_update_slice(
+                kv_l[0], k.transpose(1, 0, 2).astype(kv_l.dtype), (0, n_past, 0))
+            v_cache = lax.dynamic_update_slice(
+                kv_l[1], v.transpose(1, 0, 2).astype(kv_l.dtype), (0, n_past, 0))
+            o = attn_ops.decode_attention_auto(q[0], k_cache, v_cache, n_past + 1)
+            return o[None], jnp.stack([k_cache, v_cache])
+
+        x2, kv_l_new = _layer(params_l, cfg, x[None], cos, sin, attend)
+        return x2[0], kv_l_new
+
+    x, kv_new = lax.scan(scan_fn, x, (blocks, kv), unroll=cfg.unroll)
+    return x, kv_new
+
+
+def _forward_step_carried(blocks, cfg, x, cos, sin, n_past, kv):
     L = kv.shape[0]
 
     def scan_fn(carry, layer_in):

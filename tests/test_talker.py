@@ -97,3 +97,19 @@ def test_prefill_padding_mask(params):
     h_pad, _ = forward_prefill(params.blocks, core, jnp.asarray(xp),
                                jnp.arange(8, dtype=jnp.int32), jnp.int32(5), kv, 0)
     np.testing.assert_allclose(np.asarray(h_pad[:5]), np.asarray(h_full), rtol=1e-4, atol=1e-5)
+
+
+def test_step_equals_full_recompute_carried_cache(params):
+    """The large-capacity (carry-threaded) cache strategy must agree with the
+    full-sequence recompute exactly like the sliced strategy does."""
+    from qwen3tts_tpu.models.transformer_core import CARRY_THRESHOLD
+    rng = np.random.default_rng(4)
+    P, extra = 6, 3
+    seq = rng.normal(size=(P + extra, TCFG.hidden_size)).astype(np.float32) * 0.3
+    kv = T.make_kv_cache(TCFG, CARRY_THRESHOLD, jnp.float32)  # triggers carried path
+    _, logits, kv = T.talker_prefill(params, TCFG, jnp.asarray(seq[:P]), kv)
+    for i in range(extra):
+        hidden, logits, kv = T.talker_step(params, TCFG, jnp.asarray(seq[P + i]), jnp.int32(P + i), kv)
+    want_hidden, want_logits = ref.talker_logits_full(params, TCFG, seq)
+    np.testing.assert_allclose(np.asarray(logits), want_logits[-1], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hidden), want_hidden[-1], rtol=1e-3, atol=1e-4)
