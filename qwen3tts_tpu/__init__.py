@@ -19,3 +19,11 @@ from .config import (  # noqa: F401
     VocoderConfig,
     tiny_pipeline_config,
 )
+
+
+def __getattr__(name):
+    # lazy: pipeline pulls in jax device init; keep bare imports cheap
+    if name in ("Qwen3TTS", "TTSResult"):
+        from . import pipeline
+        return getattr(pipeline, name)
+    raise AttributeError(name)
