@@ -61,6 +61,9 @@ class TTSResult:
     audio: np.ndarray = dataclasses.field(default_factory=lambda: np.zeros(0, np.float32))
     sample_rate: int = 24000
     codes: Optional[np.ndarray] = None
+    # per-frame output-normed talker hidden states [n_frames, H]
+    # (golden-fixture parity: reference det_hidden_states.bin)
+    hidden_states: Optional[np.ndarray] = None
     n_frames: int = 0
     success: bool = False
     error_msg: str = ""
@@ -373,6 +376,7 @@ class Qwen3TTS:
         codes = np.asarray(gen.codes[:n_frames])
         result.timings.t_generate_ms = now_ms() - t0
         result.codes = codes
+        result.hidden_states = np.asarray(gen.hidden[:n_frames], np.float32)
         result.n_frames = n_frames
         if n_frames == 0:
             result.error_msg = "No speech codes generated"

@@ -135,6 +135,8 @@ def main() -> int:
         print(f"error: {result.error_msg}", file=sys.stderr)
         return 1
     _dump(args.out, meta, "det_speech_codes.bin", result.codes.astype(np.int64), np.int64)
+    if result.hidden_states is not None:
+        _dump(args.out, meta, "det_hidden_states.bin", result.hidden_states, np.float32)
     _dump(args.out, meta, "det_decoded_audio.bin", result.audio, np.float32)
     wav_path = os.path.join(args.out, "det_output.wav")
     save_wav(wav_path, result.audio, result.sample_rate)
