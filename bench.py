@@ -31,6 +31,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: remote-TPU compiles are minutes-scale with
+# high variance; caching halves warm-start time and survives across rounds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 BASELINE_FRAMES_PER_S = 3.2  # README.md:276-295 (92-frame run, Apple silicon)
 
 
