@@ -256,3 +256,11 @@ def test_single_token_text_works(tts):
     assert r.success, r.error_msg
     r2 = tts.synthesize("", SamplingConfig(temperature=0.0, top_k=0, max_audio_tokens=4))
     assert not r2.success
+
+
+def test_tokenizer_utf8_roundtrip():
+    from qwen3tts_tpu.text.bpe import synthetic_tokenizer
+    tok = synthetic_tokenizer()
+    for text in ("héllo wörld", "日本語テキスト", "emoji 🙂 test"):
+        ids = tok.encode(text)
+        assert tok.decode(ids) == text
