@@ -82,17 +82,13 @@ def main() -> None:
 
     sampling = dict(temperature=0.9, top_k=50, repetition_penalty=1.05)
 
-    def run_init(seed):
-        return decode_loop.generate_init(
+    def run_start(seed, n):
+        # prefill + first chunk, one dispatch (the streaming TTFA path)
+        return decode_loop.generate_start(
             tp, cp, jnp.asarray(tokens), jnp.int32(32), speaker, jnp.int32(2050),
             jax.random.PRNGKey(seed),
-            talker_cfg=tcfg, cp_cfg=ccfg, max_frames=N_FRAMES, kv_capacity=KV)
-
-    def run_chunk(prefill, state, n):
-        return decode_loop.generate_chunk(
-            tp, cp, prefill, state,
-            talker_cfg=tcfg, cp_cfg=ccfg, chunk_frames=n, max_frames=N_FRAMES,
-            allow_eos=False, **sampling)
+            talker_cfg=tcfg, cp_cfg=ccfg, chunk_frames=n,
+            max_frames=N_FRAMES, kv_capacity=KV, allow_eos=False, **sampling)
 
     def run_vocoder(codes, n):
         return vocoder_model.vocoder_decode(vp, vcfg, codes, jnp.int32(n))
@@ -106,28 +102,19 @@ def main() -> None:
             talker_cfg=tcfg, cp_cfg=ccfg, max_frames=N_FRAMES, kv_capacity=KV,
             allow_eos=False, **sampling)
 
-    # --- compile (4 programs: init, full chunk, ttfa chunk, vocoder) ---
-    t0 = time.perf_counter()
-    state, prefill = run_init(0)
-    jax.block_until_ready(state.logits)
-    print(f"prefill compile+run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    t0 = time.perf_counter()
-    state = run_chunk(prefill, state, N_FRAMES)
-    _ = np.asarray(state.codes)
-    print(f"generate compile+run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    t0 = time.perf_counter()
-    a = run_vocoder(state.codes, N_FRAMES)
-    _ = np.asarray(a[:8])
-    print(f"vocoder compile+run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    t0 = time.perf_counter()
-    s2, p2 = run_init(1)
-    s2 = run_chunk(p2, s2, TTFA_FRAMES)
-    _ = np.asarray(s2.codes[:1])
-    print(f"ttfa-chunk compile+run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    # --- compile (3 programs: fused full run, ttfa start, vocoder) ---
     t0 = time.perf_counter()
     g = run_fused(1)
     _ = np.asarray(g.codes[:1])
     print(f"fused compile+run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    a = run_vocoder(g.codes, N_FRAMES)
+    _ = np.asarray(a[:8])
+    print(f"vocoder compile+run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    s2, _p2 = run_start(1, TTFA_FRAMES)
+    _ = np.asarray(s2.codes[:1])
+    print(f"ttfa-start compile+run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     # --- timed: fused generation (prefill + 256 frames, one dispatch);
     # best-of-3 — wall times over the device tunnel have ~30% run-to-run
@@ -157,8 +144,7 @@ def main() -> None:
     ttfas = []
     for seed in range(5):
         t0 = time.perf_counter()
-        s, p = run_init(13 + seed)
-        s = run_chunk(p, s, TTFA_FRAMES)
+        s, _p = run_start(13 + seed, TTFA_FRAMES)
         a = run_vocoder(s.codes, TTFA_FRAMES)
         _ = np.asarray(a[: TTFA_FRAMES * spf: spf])
         ttfas.append(time.perf_counter() - t0)

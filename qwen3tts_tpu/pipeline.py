@@ -491,24 +491,31 @@ class Qwen3TTS:
         if self.vocoder_params is None:
             self._load_vocoder()
 
-        state, prefill = decode_loop.generate_init(
+        # prefill + first chunk fused into one dispatch (TTFA)
+        state, prefill = decode_loop.generate_start(
             self.talker_params, self.cp_params,
             jnp.asarray(padded), jnp.int32(n_tok),
             jnp.asarray(speaker, jnp.float32), jnp.int32(params.language_id),
             jax.random.PRNGKey(params.seed),
             talker_cfg=tcfg, cp_cfg=ccfg,
-            max_frames=max_frames, kv_capacity=kv_capacity,
+            chunk_frames=chunk_frames, max_frames=max_frames,
+            kv_capacity=kv_capacity,
+            temperature=params.temperature, top_k=params.top_k,
+            top_p=params.top_p, repetition_penalty=params.repetition_penalty,
             nothink=params.language_id < 0)
 
         emitted = 0
         budget = min(params.max_audio_tokens, max_frames)
+        first = True
         while True:
-            state = decode_loop.generate_chunk(
-                self.talker_params, self.cp_params, prefill, state,
-                talker_cfg=tcfg, cp_cfg=ccfg,
-                chunk_frames=chunk_frames, max_frames=max_frames,
-                temperature=params.temperature, top_k=params.top_k,
-                top_p=params.top_p, repetition_penalty=params.repetition_penalty)
+            if not first:
+                state = decode_loop.generate_chunk(
+                    self.talker_params, self.cp_params, prefill, state,
+                    talker_cfg=tcfg, cp_cfg=ccfg,
+                    chunk_frames=chunk_frames, max_frames=max_frames,
+                    temperature=params.temperature, top_k=params.top_k,
+                    top_p=params.top_p, repetition_penalty=params.repetition_penalty)
+            first = False
             n = min(int(state.frame), budget)
             done = bool(state.done) or n >= budget
             if n > emitted:

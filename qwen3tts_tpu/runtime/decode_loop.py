@@ -359,3 +359,68 @@ def generate_chunk(
         return jnp.logical_and(~s.done, s.frame < target)
 
     return lax.while_loop(cond, body, state)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "talker_cfg", "cp_cfg", "chunk_frames", "max_frames", "kv_capacity",
+        "temperature", "top_k", "top_p", "repetition_penalty", "nothink",
+        "allow_eos",
+    ),
+)
+def generate_start(
+    talker_params,
+    cp_params,
+    tokens: jnp.ndarray,
+    n_tokens: jnp.ndarray,
+    speaker_embd: jnp.ndarray,
+    language_id: jnp.ndarray,
+    key: jax.Array,
+    *,
+    talker_cfg: TalkerConfig,
+    cp_cfg: CodePredictorConfig,
+    chunk_frames: int,
+    max_frames: int,
+    kv_capacity: int,
+    temperature: float,
+    top_k: int,
+    top_p: float = 1.0,
+    repetition_penalty: float = 1.05,
+    nothink: bool = False,
+    allow_eos: bool = True,
+):
+    """Prefill + the FIRST chunk in one dispatch (time-to-first-audio path:
+    one device round-trip instead of two before the first vocoder call)."""
+    H = talker_cfg.hidden_size
+    Vc = talker_cfg.codec_vocab_size
+    dtype = talker_params.codec_embd.dtype
+    prefill = talker_model.build_prefill(
+        talker_params, talker_cfg, tokens, n_tokens, speaker_embd, language_id,
+        nothink=nothink)
+    kv = talker_model.make_kv_cache(talker_cfg, kv_capacity, dtype)
+    last_hidden, logits, kv = talker_model.talker_prefill(
+        talker_params, talker_cfg, prefill.prefill_embd, kv)
+    state = _LoopState(
+        frame=jnp.int32(0),
+        n_past=jnp.int32(prefill.prefill_embd.shape[0]),
+        logits=logits,
+        last_hidden=last_hidden,
+        kv=kv,
+        seen=jnp.zeros((Vc,), jnp.bool_),
+        codes=jnp.zeros((max_frames, talker_cfg.n_codebooks), jnp.int32),
+        hidden_out=jnp.zeros((max_frames, H), dtype),
+        key=key,
+        done=jnp.bool_(False),
+    )
+    body = _make_body(
+        talker_params, cp_params, talker_cfg, cp_cfg, prefill,
+        temperature=temperature, top_k=top_k, top_p=top_p,
+        repetition_penalty=repetition_penalty, progress_cb=None,
+        allow_eos=allow_eos)
+    target = jnp.minimum(jnp.int32(chunk_frames), max_frames)
+
+    def cond(s: _LoopState):
+        return jnp.logical_and(~s.done, s.frame < target)
+
+    return lax.while_loop(cond, body, state), prefill
