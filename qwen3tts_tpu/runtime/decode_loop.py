@@ -36,6 +36,34 @@ from ..models import talker as talker_model
 from ..ops.sampling import apply_repetition_penalty, apply_suppression, sample_token
 
 
+def _resolve_fused_talker(fused_talker, talker_params) -> bool:
+    """Static choice of the fused talker-step kernel ("auto" => TPU + int8;
+    the capacity gate is applied at the use site where kv.shape is known)."""
+    if fused_talker == "auto":
+        from ..ops.pallas_talker_step import fused_talker_enabled
+        from ..ops.quantized_matmul import QuantLinear
+
+        return (fused_talker_enabled()
+                and isinstance(talker_params.blocks.wqkv, QuantLinear))
+    return bool(fused_talker)
+
+
+def _resolve_fused_cp(fused_cp, cp_params, top_p: float) -> bool:
+    """Static (trace-time) choice of the mega-fused code-predictor kernel.
+
+    "auto" => on when the backend is a TPU, the blocks are int8-quantized
+    (the kernel keeps them VMEM-resident), and top_p is disabled (the kernel
+    samples with temperature/top-k only). See ops/pallas_code_predictor.py.
+    """
+    if fused_cp == "auto":
+        from ..ops.pallas_code_predictor import fused_cp_enabled
+        from ..ops.quantized_matmul import QuantLinear
+
+        return (fused_cp_enabled() and top_p >= 1.0
+                and isinstance(cp_params.blocks.wqkv, QuantLinear))
+    return bool(fused_cp)
+
+
 class GenerateResult(NamedTuple):
     codes: jnp.ndarray      # [max_frames, 16] int32 (rows >= n_frames are zero)
     n_frames: jnp.ndarray   # scalar int32
@@ -71,6 +99,8 @@ def generate(
     repetition_penalty: float = 1.05,
     progress_cb=None,
     allow_eos: bool = True,
+    fused_cp="auto",
+    fused_talker="auto",
 ) -> GenerateResult:
     """Run prefill + the full frame loop. Static args define the compiled
     shape bucket; tensor args vary freely within it.
@@ -107,7 +137,7 @@ def generate(
         talker_params, cp_params, talker_cfg, cp_cfg, prefill,
         temperature=temperature, top_k=top_k, top_p=top_p,
         repetition_penalty=repetition_penalty, progress_cb=progress_cb,
-        allow_eos=allow_eos)
+        allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker)
 
     def cond(s: _LoopState):
         return jnp.logical_and(~s.done, s.frame < max_frames)
@@ -119,6 +149,7 @@ def generate(
 def _make_body(
     talker_params, cp_params, talker_cfg, cp_cfg, prefill, *,
     temperature, top_k, top_p, repetition_penalty, progress_cb, allow_eos,
+    fused_cp="auto", fused_talker="auto",
 ):
     """The per-frame loop body, shared by full and chunked (streaming)
     generation."""
@@ -126,6 +157,8 @@ def _make_body(
     suppress_start = Vc - talker_cfg.n_suppressed_tail
     Trb = prefill.trailing.shape[0]
     dtype = talker_params.codec_embd.dtype
+    use_fused_cp = _resolve_fused_cp(fused_cp, cp_params, top_p)
+    use_fused_talker = _resolve_fused_talker(fused_talker, talker_params)
 
     def body(s: _LoopState) -> _LoopState:
         # --- sample codebook 0 ---
@@ -140,9 +173,19 @@ def _make_body(
 
         # --- residual codebooks 1..15 ---
         cb0_embd = talker_params.codec_embd[cb0]
-        rest = cp_model.predict_codes(
-            cp_params, cp_cfg, s.last_hidden.astype(dtype), cb0_embd, k_cp,
-            temperature=temperature, top_k=top_k, top_p=top_p)
+        if use_fused_cp:
+            from ..ops.pallas_code_predictor import fused_predict_codes
+
+            seed = lax.bitcast_convert_type(
+                jax.random.bits(k_cp, (), "uint32"), jnp.int32)
+            rest, rest_sum = fused_predict_codes(
+                cp_params, cp_cfg, s.last_hidden.astype(dtype), cb0_embd,
+                seed, temperature=temperature, top_k=top_k)
+        else:
+            rest = cp_model.predict_codes(
+                cp_params, cp_cfg, s.last_hidden.astype(dtype), cb0_embd, k_cp,
+                temperature=temperature, top_k=top_k, top_p=top_p)
+            rest_sum = None
         frame_codes = jnp.concatenate([cb0[None], rest])
 
         emit = ~done
@@ -152,15 +195,30 @@ def _make_body(
         seen = s.seen.at[cb0].set(jnp.where(emit, True, s.seen[cb0]))
 
         # --- next-step input embedding ---
-        rest_embds = cp_params.embds[jnp.arange(cp_cfg.n_steps), rest]   # [15, H]
+        if rest_sum is None:
+            rest_embds = cp_params.embds[jnp.arange(cp_cfg.n_steps), rest]   # [15, H]
+            rest_sum = jnp.sum(rest_embds.astype(jnp.float32), axis=0)
         trailing_row = prefill.trailing[jnp.minimum(s.frame, Trb - 1)]
         step_embd = (cb0_embd.astype(jnp.float32)
-                     + jnp.sum(rest_embds.astype(jnp.float32), axis=0)
+                     + rest_sum
                      + trailing_row.astype(jnp.float32)).astype(dtype)
 
         # --- talker step ---
-        hidden, logits, kv = talker_model.talker_step(
-            talker_params, talker_cfg, step_embd, s.n_past, s.kv)
+        from ..ops.pallas_talker_step import MAX_FUSED_CAPACITY
+
+        if use_fused_talker and s.kv.shape[3] <= MAX_FUSED_CAPACITY:
+            from ..ops.norms import rms_norm
+            from ..ops.pallas_talker_step import fused_talker_step
+
+            hidden_raw, kv = fused_talker_step(
+                talker_params.blocks, talker_cfg, step_embd, s.n_past, s.kv)
+            hidden = rms_norm(hidden_raw.astype(dtype),
+                              talker_params.output_norm,
+                              talker_cfg.rms_norm_eps)
+            logits = (hidden @ talker_params.codec_head).astype(jnp.float32)
+        else:
+            hidden, logits, kv = talker_model.talker_step(
+                talker_params, talker_cfg, step_embd, s.n_past, s.kv)
 
         if progress_cb is not None:
             _io_callback(progress_cb, None, s.frame + emit.astype(jnp.int32),
@@ -187,7 +245,7 @@ def _make_body(
     static_argnames=(
         "talker_cfg", "cp_cfg", "max_frames", "kv_capacity",
         "temperature", "top_k", "top_p", "repetition_penalty", "nothink",
-        "progress_cb", "allow_eos",
+        "progress_cb", "allow_eos", "fused_cp", "fused_talker",
     ),
 )
 def generate_from_tokens(
@@ -210,6 +268,8 @@ def generate_from_tokens(
     nothink: bool = False,
     progress_cb=None,
     allow_eos: bool = True,
+    fused_cp="auto",
+    fused_talker="auto",
 ) -> GenerateResult:
     """End-to-end jitted path: prefill-embedding construction + generate."""
     prefill = talker_model.build_prefill(
@@ -220,7 +280,7 @@ def generate_from_tokens(
         max_frames=max_frames, kv_capacity=kv_capacity,
         temperature=temperature, top_k=top_k, top_p=top_p,
         repetition_penalty=repetition_penalty, progress_cb=progress_cb,
-        allow_eos=allow_eos)
+        allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker)
 
 
 @functools.partial(
@@ -262,7 +322,8 @@ def generate_from_tokens_batched(
             talker_params, cp_params, talker_cfg, cp_cfg, prefill, key_i,
             max_frames=max_frames, kv_capacity=kv_capacity,
             temperature=temperature, top_k=top_k, top_p=top_p,
-            repetition_penalty=repetition_penalty)
+            repetition_penalty=repetition_penalty, fused_cp=False,
+            fused_talker=False)
 
     return jax.vmap(one)(tokens, n_tokens, speaker_embd, language_id, keys)
 
@@ -326,6 +387,7 @@ def generate_init(
     static_argnames=(
         "talker_cfg", "cp_cfg", "chunk_frames", "max_frames",
         "temperature", "top_k", "top_p", "repetition_penalty", "allow_eos",
+        "fused_cp", "fused_talker",
     ),
     donate_argnames=("state",),
 )
@@ -344,6 +406,8 @@ def generate_chunk(
     top_p: float = 1.0,
     repetition_penalty: float = 1.05,
     allow_eos: bool = True,
+    fused_cp="auto",
+    fused_talker="auto",
 ) -> _LoopState:
     """Advance the decode loop by up to chunk_frames emitted frames. The
     state is donated (the KV cache updates in place across chunks); read
@@ -352,7 +416,7 @@ def generate_chunk(
         talker_params, cp_params, talker_cfg, cp_cfg, prefill,
         temperature=temperature, top_k=top_k, top_p=top_p,
         repetition_penalty=repetition_penalty, progress_cb=None,
-        allow_eos=allow_eos)
+        allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker)
     target = jnp.minimum(state.frame + chunk_frames, max_frames)
 
     def cond(s: _LoopState):
@@ -366,7 +430,7 @@ def generate_chunk(
     static_argnames=(
         "talker_cfg", "cp_cfg", "chunk_frames", "max_frames", "kv_capacity",
         "temperature", "top_k", "top_p", "repetition_penalty", "nothink",
-        "allow_eos",
+        "allow_eos", "fused_cp", "fused_talker",
     ),
 )
 def generate_start(
@@ -389,6 +453,8 @@ def generate_start(
     repetition_penalty: float = 1.05,
     nothink: bool = False,
     allow_eos: bool = True,
+    fused_cp="auto",
+    fused_talker="auto",
 ):
     """Prefill + the FIRST chunk in one dispatch (time-to-first-audio path:
     one device round-trip instead of two before the first vocoder call)."""
@@ -417,7 +483,7 @@ def generate_start(
         talker_params, cp_params, talker_cfg, cp_cfg, prefill,
         temperature=temperature, top_k=top_k, top_p=top_p,
         repetition_penalty=repetition_penalty, progress_cb=None,
-        allow_eos=allow_eos)
+        allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker)
     target = jnp.minimum(jnp.int32(chunk_frames), max_frames)
 
     def cond(s: _LoopState):

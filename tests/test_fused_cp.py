@@ -1,0 +1,106 @@
+"""Parity tests for the mega-fused code-predictor Pallas kernel
+(ops/pallas_code_predictor.py) against the XLA predict_codes path.
+
+Runs in Pallas interpret mode on the CPU test mesh. The "dequant" kernel mode
+computes with f32-dequantized weights — the same math as predict_codes on a
+dequantized f32 param set — so greedy codes must match exactly. The "w8a8"
+mode additionally quantizes activations (the TPU fast path); it is checked
+for validity/determinism rather than bit-parity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3tts_tpu.config import tiny_pipeline_config
+from qwen3tts_tpu.models import code_predictor as cp_model
+from qwen3tts_tpu.ops.pallas_code_predictor import fused_predict_codes
+from qwen3tts_tpu.ops.quant import dequantize, quantize_block_params
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_pipeline_config().code_predictor
+    key = jax.random.PRNGKey(7)
+    params = cp_model.init_code_predictor_params(key, cfg, jnp.float32)
+    qparams = params._replace(blocks=quantize_block_params(params.blocks))
+    deq = qparams._replace(blocks=qparams.blocks._replace(
+        wqkv=dequantize(qparams.blocks.wqkv, jnp.float32),
+        wo=dequantize(qparams.blocks.wo, jnp.float32),
+        w_gateup=dequantize(qparams.blocks.w_gateup, jnp.float32),
+        w_down=dequantize(qparams.blocks.w_down, jnp.float32),
+    ))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    th = jax.random.normal(k1, (cfg.hidden_size,), jnp.float32)
+    cb0 = jax.random.normal(k2, (cfg.hidden_size,), jnp.float32)
+    return cfg, qparams, deq, th, cb0
+
+
+def test_greedy_dequant_matches_xla(setup):
+    cfg, qparams, deq, th, cb0 = setup
+    codes_ref = cp_model.predict_codes(
+        deq, cfg, th, cb0, jax.random.PRNGKey(0), temperature=0.0, top_k=0)
+    codes, rest_sum = fused_predict_codes(
+        qparams, cfg, th, cb0, jnp.int32(0),
+        temperature=0.0, top_k=0, mode="dequant", interpret=True)
+    np.testing.assert_array_equal(np.asarray(codes), np.asarray(codes_ref))
+
+    expect = jnp.sum(
+        qparams.embds[jnp.arange(cfg.n_steps), codes].astype(jnp.float32), axis=0)
+    np.testing.assert_allclose(
+        np.asarray(rest_sum), np.asarray(expect), rtol=1e-5, atol=1e-5)
+
+
+def test_w8a8_valid_and_deterministic(setup):
+    cfg, qparams, deq, th, cb0 = setup
+    codes1, sum1 = fused_predict_codes(
+        qparams, cfg, th, cb0, jnp.int32(0),
+        temperature=0.0, top_k=0, mode="w8a8", interpret=True)
+    codes2, sum2 = fused_predict_codes(
+        qparams, cfg, th, cb0, jnp.int32(0),
+        temperature=0.0, top_k=0, mode="w8a8", interpret=True)
+    c = np.asarray(codes1)
+    assert c.shape == (cfg.n_steps,)
+    assert (c >= 0).all() and (c < cfg.vocab_size).all()
+    np.testing.assert_array_equal(c, np.asarray(codes2))
+    np.testing.assert_allclose(np.asarray(sum1), np.asarray(sum2))
+    # activation quantization is mild at these scales: most greedy codes agree
+    ref, _ = fused_predict_codes(
+        qparams, cfg, th, cb0, jnp.int32(0),
+        temperature=0.0, top_k=0, mode="dequant", interpret=True)
+    agree = (c == np.asarray(ref)).mean()
+    assert agree >= 0.5, f"w8a8 vs dequant greedy agreement too low: {agree}"
+
+
+def test_sampled_mode(setup):
+    """Sampled path traces and stays in-range/deterministic per seed.
+
+    NB: the TPU interpreter stubs prng_random_bits to zeros, so
+    seed-sensitivity (different seeds -> different draws) can only be
+    observed on real hardware; tools/smoke_fused_cp.py covers it there.
+    """
+    cfg, qparams, deq, th, cb0 = setup
+    codes_a, _ = fused_predict_codes(
+        qparams, cfg, th, cb0, jnp.int32(1234),
+        temperature=0.9, top_k=50, mode="dequant", interpret=True)
+    codes_b, _ = fused_predict_codes(
+        qparams, cfg, th, cb0, jnp.int32(1234),
+        temperature=0.9, top_k=50, mode="dequant", interpret=True)
+    a, b = map(np.asarray, (codes_a, codes_b))
+    assert (a >= 0).all() and (a < cfg.vocab_size).all()
+    np.testing.assert_array_equal(a, b)          # same seed -> same draw
+
+
+def test_topk_restricts_support(setup):
+    """With top_k=1 sampling must collapse to greedy."""
+    cfg, qparams, deq, th, cb0 = setup
+    greedy, _ = fused_predict_codes(
+        qparams, cfg, th, cb0, jnp.int32(0),
+        temperature=0.0, top_k=0, mode="dequant", interpret=True)
+    k1, _ = fused_predict_codes(
+        qparams, cfg, th, cb0, jnp.int32(42),
+        temperature=0.9, top_k=1, mode="dequant", interpret=True)
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(k1))

@@ -1,0 +1,78 @@
+"""Parity tests for the fused talker-step Pallas kernel
+(ops/pallas_talker_step.py) against the XLA forward_step path, in interpret
+mode on CPU at the tiny configuration.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3tts_tpu.config import tiny_pipeline_config
+from qwen3tts_tpu.models import talker as talker_model
+from qwen3tts_tpu.models.transformer_core import forward_step
+from qwen3tts_tpu.ops import pallas_talker_step as pts
+from qwen3tts_tpu.ops.quant import dequantize, quantize_block_params
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_pipeline_config().talker
+    params = talker_model.init_talker_params(jax.random.PRNGKey(5), cfg, jnp.float32)
+    qblocks = quantize_block_params(params.blocks)
+    deq_blocks = qblocks._replace(
+        wqkv=dequantize(qblocks.wqkv, jnp.float32),
+        wo=dequantize(qblocks.wo, jnp.float32),
+        w_gateup=dequantize(qblocks.w_gateup, jnp.float32),
+        w_down=dequantize(qblocks.w_down, jnp.float32),
+    )
+    C = 32
+    kv = jax.random.normal(
+        jax.random.PRNGKey(9),
+        (cfg.n_layers, 2, cfg.n_kv_heads, C, cfg.head_dim), jnp.float32) * 0.1
+    x = jax.random.normal(jax.random.PRNGKey(11), (cfg.hidden_size,), jnp.float32)
+    return cfg, params, qblocks, deq_blocks, kv, x
+
+
+def test_dequant_matches_forward_step(setup):
+    cfg, params, qblocks, deq_blocks, kv, x = setup
+    n_past = jnp.int32(7)
+
+    hidden_ref, kv_ref = forward_step(
+        deq_blocks, talker_model.core_config(cfg), x, n_past, kv)
+    hidden_k, kv_k = pts.fused_talker_step(
+        qblocks, cfg, x, n_past, kv, mode="dequant", interpret=True)
+
+    np.testing.assert_allclose(
+        np.asarray(hidden_k), np.asarray(hidden_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(kv_k), np.asarray(kv_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_dequant_matches_forward_step_pos0(setup):
+    cfg, params, qblocks, deq_blocks, kv, x = setup
+    kv0 = jnp.zeros_like(kv)
+    hidden_ref, kv_ref = forward_step(
+        deq_blocks, talker_model.core_config(cfg), x, jnp.int32(0), kv0)
+    hidden_k, kv_k = pts.fused_talker_step(
+        qblocks, cfg, x, jnp.int32(0), kv0, mode="dequant", interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(hidden_k), np.asarray(hidden_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(kv_k), np.asarray(kv_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_w8a8_close(setup):
+    cfg, params, qblocks, deq_blocks, kv, x = setup
+    n_past = jnp.int32(3)
+    hidden_d, kv_d = pts.fused_talker_step(
+        qblocks, cfg, x, n_past, kv, mode="dequant", interpret=True)
+    hidden_q, kv_q = pts.fused_talker_step(
+        qblocks, cfg, x, n_past, kv, mode="w8a8", interpret=True)
+    # activation quantization: small relative error on the hidden state
+    ref = np.asarray(hidden_d)
+    err = np.abs(np.asarray(hidden_q) - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 0.15, f"w8a8 relative error too large: {err}"
+    assert np.isfinite(np.asarray(hidden_q)).all()
