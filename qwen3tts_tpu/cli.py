@@ -6,7 +6,9 @@
 
 Extras over the reference: ``--synthetic`` (run without checkpoint files on
 deterministic synthetic weights), ``--seed``, a working ``--top-p`` (dead in
-the reference CLI, README.md:184), and ``--progress``.
+the reference CLI, README.md:184), ``--progress``, and ``--quant int8`` (the
+reference selects Q8_0 by pointing at a Q8_0 GGUF file; here quantization is
+a runtime flag).
 """
 
 from __future__ import annotations
@@ -34,6 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Language: " + ",".join(sorted(k for k in LANGUAGE_IDS if len(k) == 2)))
     p.add_argument("--seed", type=int, default=0, help="Sampling PRNG seed")
     p.add_argument("--dtype", choices=["bfloat16", "float32"], default="bfloat16")
+    p.add_argument("--quant", choices=["none", "int8"], default="none",
+                   help="Weight quantization (int8 = Q8_0-parity serving mode; "
+                        "engages the fused Pallas decode kernels on TPU)")
     p.add_argument("--synthetic", action="store_true",
                    help="Run with deterministic synthetic weights (no checkpoint needed)")
     p.add_argument("--progress", action="store_true", help="Print per-frame progress")
@@ -53,8 +58,10 @@ def main(argv=None) -> int:
         return 1
 
     from .io.config_io import config_from_model_dir
-    cfg = config_from_model_dir(None if args.synthetic else args.model,
-                                RuntimeConfig(dtype=args.dtype))
+    cfg = config_from_model_dir(
+        None if args.synthetic else args.model,
+        RuntimeConfig(dtype=args.dtype,
+                      quant=None if args.quant == "none" else args.quant))
     tts = Qwen3TTS(cfg)
 
     print(f"Loading models from: {args.model or '<synthetic>'}", file=sys.stderr)
