@@ -8,7 +8,7 @@ format from the spec so existing GGUF checkpoints load directly into the TPU
 pipeline, and so the Q8_0 path has a bit-parity on-disk representation.
 
 Only the value/tensor types the Qwen3-TTS files use are implemented:
-F32, F16, Q8_0 tensors; u32/i32/f32/u64/bool/string/array metadata.
+F32, F16, Q8_0, Q4_K tensors; u32/i32/f32/u64/bool/string/array metadata.
 Reads go through the native C++ reader (io/native.py) when it is built,
 falling back to this implementation transparently.
 """
@@ -30,9 +30,13 @@ T_U8, T_I8, T_U16, T_I16, T_U32, T_I32, T_F32, T_BOOL, T_STR, T_ARR, T_U64, T_I6
 # tensor types (ggml)
 GGML_F32, GGML_F16 = 0, 1
 GGML_Q8_0 = 8
+GGML_Q4_K = 12
 
 Q8_BLOCK = 32
 Q8_BLOCK_BYTES = 2 + Q8_BLOCK  # fp16 scale + 32 int8
+
+QK_K = 256                      # Q4_K super-block
+Q4K_BLOCK_BYTES = 2 + 2 + 12 + QK_K // 2  # d, dmin, packed 6-bit scales, 4-bit qs
 
 
 # ---------------------------------------------------------------------------
@@ -66,6 +70,90 @@ def q8_0_arrays(buf: bytes, shape: Tuple[int, ...]) -> tuple[np.ndarray, np.ndar
     d = blocks[:, :2].copy().view(np.float16).reshape(shape[:-1] + (shape[-1] // Q8_BLOCK,))
     q = blocks[:, 2:].copy().view(np.int8).reshape(shape)
     return q, d
+
+
+# ---------------------------------------------------------------------------
+# Q4_K quantization (ggml k-quant super-block format, QK_K = 256)
+#
+# On-disk layout (ggml-common.h block_q4_K): f16 d (scale-of-scales), f16
+# dmin (scale-of-mins), 12 bytes of packed 6-bit per-32-sub-block
+# (scale, min) pairs, 128 bytes of 4-bit quants (low nibbles = values
+# [64j, 64j+32), high nibbles = values [64j+32, 64j+64) within each 64-value
+# chunk). Dequant: y = d*sc6[i]*q - dmin*m6[i]. The reference converter
+# offers this type (scripts/convert_tts_to_gguf.py); the quantizer here is
+# format-faithful (requantizes against the packed 6-bit scales) but uses a
+# direct min/max fit rather than ggml's iterative search — any valid
+# quantizer produces files every GGUF consumer reads identically.
+# ---------------------------------------------------------------------------
+
+def _pack_scales_q4k(ls: np.ndarray, lm: np.ndarray) -> np.ndarray:
+    """ls/lm: [N, 8] uint8 in [0, 63] -> [N, 12] packed (get_scale_min_k4
+    inverse)."""
+    n = ls.shape[0]
+    out = np.zeros((n, 12), np.uint8)
+    out[:, 0:4] = ls[:, 0:4] | ((ls[:, 4:8] >> 4) << 6)
+    out[:, 4:8] = lm[:, 0:4] | ((lm[:, 4:8] >> 4) << 6)
+    out[:, 8:12] = (ls[:, 4:8] & 0xF) | ((lm[:, 4:8] & 0xF) << 4)
+    return out
+
+
+def _unpack_scales_q4k(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """[N, 12] -> (ls [N, 8], lm [N, 8]) per ggml get_scale_min_k4."""
+    ls = np.zeros(packed.shape[:1] + (8,), np.uint8)
+    lm = np.zeros_like(ls)
+    ls[:, 0:4] = packed[:, 0:4] & 63
+    lm[:, 0:4] = packed[:, 4:8] & 63
+    ls[:, 4:8] = (packed[:, 8:12] & 0xF) | ((packed[:, 0:4] >> 6) << 4)
+    lm[:, 4:8] = (packed[:, 8:12] >> 4) | ((packed[:, 4:8] >> 6) << 4)
+    return ls, lm
+
+
+def quantize_q4_k(x: np.ndarray) -> bytes:
+    """Row-major f32 array -> Q4_K super-blocks. Last dim must be % 256."""
+    flat = np.ascontiguousarray(x, np.float32).reshape(-1, 8, 32)
+    n = flat.shape[0]
+    # per-32 affine fit: q in [0,15], y = scale*q - min_pos
+    sub_min = np.minimum(flat.min(axis=2), 0.0)          # [N, 8] <= 0
+    sub_max = np.maximum(flat.max(axis=2), 0.0)
+    mins_raw = -sub_min                                  # >= 0
+    scales_raw = (sub_max - sub_min) / 15.0              # >= 0
+    d = (scales_raw.max(axis=1) / 63.0).astype(np.float16).astype(np.float32)
+    dmin = (mins_raw.max(axis=1) / 63.0).astype(np.float16).astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ls = np.where(d[:, None] > 0, np.rint(scales_raw / d[:, None]), 0)
+        lm = np.where(dmin[:, None] > 0, np.rint(mins_raw / dmin[:, None]), 0)
+    ls = np.clip(ls, 0, 63).astype(np.uint8)
+    lm = np.clip(lm, 0, 63).astype(np.uint8)
+    eff_scale = d[:, None] * ls                          # [N, 8]
+    eff_min = dmin[:, None] * lm
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = np.rint((flat + eff_min[:, :, None]) / eff_scale[:, :, None])
+        q = np.where(eff_scale[:, :, None] > 0, q, 0)
+    q = np.clip(q, 0, 15).astype(np.uint8).reshape(n, 4, 64)
+    qs = (q[:, :, :32] | (q[:, :, 32:] << 4)).reshape(n, 128)
+
+    out = np.zeros((n, Q4K_BLOCK_BYTES), np.uint8)
+    out[:, 0:2] = d.astype(np.float16).view(np.uint8).reshape(-1, 2)
+    out[:, 2:4] = dmin.astype(np.float16).view(np.uint8).reshape(-1, 2)
+    out[:, 4:16] = _pack_scales_q4k(ls, lm)
+    out[:, 16:] = qs
+    return out.tobytes()
+
+
+def dequantize_q4_k(buf: bytes, shape: Tuple[int, ...]) -> np.ndarray:
+    blocks = np.frombuffer(buf, np.uint8).reshape(-1, Q4K_BLOCK_BYTES)
+    n = blocks.shape[0]
+    d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32)      # [N,1]
+    dmin = blocks[:, 2:4].copy().view(np.float16).astype(np.float32)
+    ls, lm = _unpack_scales_q4k(blocks[:, 4:16])
+    qs = blocks[:, 16:].reshape(n, 4, 32)
+    q = np.empty((n, 4, 64), np.float32)
+    q[:, :, :32] = qs & 0xF
+    q[:, :, 32:] = qs >> 4
+    q = q.reshape(n, 8, 32)
+    scale = (d * ls).astype(np.float32)[:, :, None]                    # [N,8,1]
+    minv = (dmin * lm).astype(np.float32)[:, :, None]
+    return (scale * q - minv).reshape(shape)
 
 
 # ---------------------------------------------------------------------------
@@ -181,6 +269,8 @@ class GGUFReader:
             nbytes = n * 2
         elif ttype == GGML_Q8_0:
             nbytes = n // Q8_BLOCK * Q8_BLOCK_BYTES
+        elif ttype == GGML_Q4_K:
+            nbytes = n // QK_K * Q4K_BLOCK_BYTES
         else:
             raise ValueError(f"unsupported tensor type {ttype} for {name}")
         start = self._data_start + toff
@@ -192,6 +282,8 @@ class GGUFReader:
             return np.frombuffer(buf, "<f4").reshape(shape)
         if ttype == GGML_F16:
             return np.frombuffer(buf, "<f2").reshape(shape)
+        if ttype == GGML_Q4_K:
+            return dequantize_q4_k(buf, shape)
         return dequantize_q8_0(buf, shape)
 
     def tensor_q8(self, name: str):
@@ -226,6 +318,10 @@ class GGUFWriter:
             if array.shape[-1] % Q8_BLOCK:
                 raise ValueError(f"{name}: Q8_0 needs last dim % 32 == 0")
             data = quantize_q8_0(array.astype(np.float32))
+        elif ttype == GGML_Q4_K:
+            if array.shape[-1] % QK_K:
+                raise ValueError(f"{name}: Q4_K needs last dim % 256 == 0")
+            data = quantize_q4_k(array.astype(np.float32))
         else:
             raise ValueError(f"unsupported tensor type {ttype}")
         self.tensors.append((name, tuple(array.shape), ttype, data))

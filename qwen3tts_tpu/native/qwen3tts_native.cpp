@@ -21,7 +21,22 @@ constexpr uint32_t kGgufMagic = 0x46554747;  // "GGUF"
 constexpr int kQ8Block = 32;
 constexpr int kQ8BlockBytes = 34;
 
-enum GgmlType : uint32_t { GGML_F32 = 0, GGML_F16 = 1, GGML_Q8_0 = 8 };
+enum GgmlType : uint32_t { GGML_F32 = 0, GGML_F16 = 1, GGML_Q8_0 = 8,
+                           GGML_Q4_K = 12 };
+
+constexpr int kQKK = 256;            // Q4_K super-block values
+constexpr int kQ4KBlockBytes = 144;  // f16 d + f16 dmin + 12 scales + 128 qs
+
+// ggml get_scale_min_k4: unpack 6-bit (scale, min) pair j from 12 bytes.
+inline void q4k_scale_min(const uint8_t* s, int j, uint8_t* sc, uint8_t* m) {
+    if (j < 4) {
+        *sc = s[j] & 63;
+        *m = s[j + 4] & 63;
+    } else {
+        *sc = (uint8_t)((s[j + 4] & 0xF) | ((s[j - 4] >> 6) << 4));
+        *m = (uint8_t)((s[j + 4] >> 4) | ((s[j] >> 6) << 4));
+    }
+}
 
 float fp16_to_fp32(uint16_t h) {
     uint32_t sign = (uint32_t)(h & 0x8000u) << 16;
@@ -209,6 +224,37 @@ int32_t gguf_read_tensor_f32(void* handle, int64_t i, float* out) {
             const int8_t* q = (const int8_t*)(blk + 2);
             float* dst = out + b * kQ8Block;
             for (int k = 0; k < kQ8Block; ++k) dst[k] = d * (float)q[k];
+        }
+        return 0;
+    }
+    if (t.type == GGML_Q4_K) {
+        const uint64_t n_blocks = n / kQKK;
+        std::vector<uint8_t> buf(n_blocks * kQ4KBlockBytes);
+        if (!read_exact(gf->f, buf.data(), buf.size())) return -3;
+        for (uint64_t b = 0; b < n_blocks; ++b) {
+            const uint8_t* blk = buf.data() + b * kQ4KBlockBytes;
+            uint16_t dh, dminh;
+            std::memcpy(&dh, blk, 2);
+            std::memcpy(&dminh, blk + 2, 2);
+            const float d = fp16_to_fp32(dh);
+            const float dmin = fp16_to_fp32(dminh);
+            const uint8_t* scales = blk + 4;
+            const uint8_t* qs = blk + 16;
+            float* dst = out + b * kQKK;
+            // 4 chunks of 64 values: low nibbles then high nibbles, with
+            // separate 6-bit (scale, min) per 32-value sub-block
+            for (int c = 0; c < 4; ++c) {
+                uint8_t sc0, m0, sc1, m1;
+                q4k_scale_min(scales, 2 * c, &sc0, &m0);
+                q4k_scale_min(scales, 2 * c + 1, &sc1, &m1);
+                const float s_lo = d * sc0, mn_lo = dmin * m0;
+                const float s_hi = d * sc1, mn_hi = dmin * m1;
+                const uint8_t* q = qs + 32 * c;
+                for (int k = 0; k < 32; ++k) {
+                    dst[64 * c + k] = s_lo * (float)(q[k] & 0xF) - mn_lo;
+                    dst[64 * c + 32 + k] = s_hi * (float)(q[k] >> 4) - mn_hi;
+                }
+            }
         }
         return 0;
     }

@@ -1,6 +1,6 @@
 """Fused talker decode step: all 28 layers of one AR frame in ONE Pallas
-call, gridded over layers so each layer's int8 weights stream HBM->VMEM
-exactly once, double-buffered behind the previous layer's compute.
+call, gridded over layer groups so each layer's int8 weights stream
+HBM->VMEM exactly once, double-buffered behind the previous group's compute.
 
 Why: the XLA step path costs ~28 layer-iteration boundaries of small-op
 overhead per frame on top of the weight streaming, and XLA's M=1 GEMVs run
@@ -9,20 +9,23 @@ per-layer dispatch entirely and lets Mosaic pipeline weight DMA against
 compute; the activation (a single [1, H] vector) is carried across grid
 steps in VMEM scratch.
 
-Per grid step l (semantics of models/transformer_core._forward_step_*,
-reference src/tts_transformer.cpp:1268-1411):
+Per layer (semantics of models/transformer_core._forward_step_*, reference
+src/tts_transformer.cpp:1268-1411):
   RMSNorm -> fused QKV (int8 w8a8 dot) -> q/k RMSNorm -> NEOX RoPE
   -> KV-cache row write at n_past (one-hot masked full-block update)
   -> GQA attention over cache[0:n_past+1] (per-kv-head NT dots, f32 softmax)
   -> o_proj -> RMSNorm -> SwiGLU -> residual.
+After the last layer the kernel also applies the output RMSNorm and the
+codec LM head (reference :1837-1845), so the decode loop gets
+(normed hidden, logits) in the same call.
 
-The KV cache block [1, 2, Hkv, C, D] rides the grid as input AND output
+The KV cache block [LPS, 2, Hkv, C, D] rides the grid as input AND output
 (aliased): read, row-updated, written back. That bounds this kernel to
 moderate capacities (the whole block must fit in VMEM twice); the decode
 loop keeps the existing XLA+flash-attention path for long-form buckets.
 
-The final hidden (pre-output-norm) returns to XLA, where the output norm,
-codec head and sampling stay (they are one GEMV + cheap vector ops).
+`layers_per_step` (LPS) controls how many layers one grid step processes:
+more layers per step amortizes per-grid-step overhead against more VMEM.
 """
 
 from __future__ import annotations
@@ -38,6 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 MAX_FUSED_CAPACITY = 1024   # KV block (2*Hkv*C*D) must fit in VMEM twice
+DEFAULT_LAYERS_PER_STEP = 2
 
 
 def fused_talker_enabled() -> bool:
@@ -55,7 +59,7 @@ def _rms(x, w, eps):
     return x * lax.rsqrt(var + eps) * w.astype(jnp.float32)
 
 
-def _make_kernel(cfg, C, *, mode, kv_dtype):
+def _make_kernel(cfg, C, *, mode, kv_dtype, lps, with_head):
     H = cfg.hidden_size
     L = cfg.n_layers
     Hq, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -64,10 +68,10 @@ def _make_kernel(cfg, C, *, mode, kv_dtype):
     eps = cfg.rms_norm_eps
     scale = D ** -0.5
 
-    def mm(x, wq_ref, ws_ref):
-        """x [1, K] f32 @ this layer's weight block -> [1, N] f32."""
-        wq = wq_ref[0]                       # [K, N] int8
-        ws = ws_ref[0].astype(jnp.float32)   # [1, N]
+    def mm(x, wq_ref, ws_ref, j):
+        """x [1, K] f32 @ sub-layer j of this group's weight block."""
+        wq = wq_ref[0, j]                       # [K, N] int8
+        ws = ws_ref[0, j].astype(jnp.float32)   # [1, N]
         if mode == "w8a8":
             amax = jnp.max(jnp.abs(x))
             s_act = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
@@ -83,13 +87,19 @@ def _make_kernel(cfg, C, *, mode, kv_dtype):
     def kernel(n_past_ref, x_in_ref, cos_ref, sin_ref,
                attn_n_ref, q_n_ref, k_n_ref, ffn_n_ref,
                wqkv_q, wqkv_s, wo_q, wo_s, wgu_q, wgu_s, wd_q, wd_s,
-               kv_in_ref,
-               kv_out_ref, hid_ref,
-               x_ref, sc_heads, sc_flat):
-        l = pl.program_id(0)
+               *rest):
+        if with_head:
+            (out_n_ref, head_ref, kv_in_ref,
+             kv_out_ref, hid_ref, logits_ref,
+             x_ref, sc_heads, sc_flat) = rest
+        else:
+            (kv_in_ref, kv_out_ref, hid_ref,
+             x_ref, sc_heads, sc_flat) = rest
+
+        g = pl.program_id(0)
         n_past = n_past_ref[0, 0]
 
-        @pl.when(l == 0)
+        @pl.when(g == 0)
         def _():
             x_ref[...] = x_in_ref[...].astype(jnp.float32)
 
@@ -97,69 +107,83 @@ def _make_kernel(cfg, C, *, mode, kv_dtype):
         cos = cos_ref[...].astype(jnp.float32)   # [1, D/2]
         sin = sin_ref[...].astype(jnp.float32)
 
-        h = _rms(x, attn_n_ref[l], eps)
-        qkv = mm(h, wqkv_q, wqkv_s)
-
-        # lane->sublane relayout through scratch (per-head rows)
-        for i in range(Hq + 2 * Hkv):
-            sc_heads[i:i + 1, :] = qkv[:, i * D:(i + 1) * D]
-        q = sc_heads[0:Hq, :]
-        k = sc_heads[Hq:Hq + Hkv, :]
-        v = sc_heads[Hq + Hkv:Hq + 2 * Hkv, :]
-        q = _rms(q, q_n_ref[l], eps)
-        k = _rms(k, k_n_ref[l], eps)
-
         def rope(t):
             half = D // 2
             t1, t2 = t[:, :half], t[:, half:]
             return jnp.concatenate(
                 [t1 * cos - t2 * sin, t1 * sin + t2 * cos], axis=-1)
 
-        q = rope(q)
-        k = rope(k)
-
-        # KV row write at n_past: one-hot masked full-block update
         pos = lax.broadcasted_iota(jnp.int32, (Hkv, C, D), 1)
-        kv_out_ref[0, 0] = jnp.where(
-            pos == n_past, k[:, None, :].astype(kv_dtype), kv_in_ref[0, 0])
-        kv_out_ref[0, 1] = jnp.where(
-            pos == n_past, v[:, None, :].astype(kv_dtype), kv_in_ref[0, 1])
-
-        # GQA attention over cache[0:n_past+1] (per-kv-head NT dots)
         col = lax.broadcasted_iota(jnp.int32, (G, C), 1)
         valid = col <= n_past
-        for hh in range(Hkv):
-            qh = q[hh * G:(hh + 1) * G, :].astype(kv_dtype)   # [G, D]
-            kh = kv_out_ref[0, 0, hh]                          # [C, D]
-            vh = kv_out_ref[0, 1, hh]
-            s = jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            s = jnp.where(valid, s, NEG_INF)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - m)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)
-            oh = jax.lax.dot_general(
-                p.astype(kv_dtype), vh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)            # [G, D]
-            for g in range(G):
-                sc_flat[0:1, (hh * G + g) * D:(hh * G + g + 1) * D] = \
-                    oh[g:g + 1, :]
 
-        x = x + mm(sc_flat[...], wo_q, wo_s)
-        h = _rms(x, ffn_n_ref[l], eps)
-        gu = mm(h, wgu_q, wgu_s)
-        gate = gu[:, :F]
-        gate = gate / (1.0 + jnp.exp(-gate))
-        x = x + mm(gate * gu[:, F:], wd_q, wd_s)
+        for j in range(lps):
+            l = g * lps + j
+            h = _rms(x, attn_n_ref[l], eps)
+            qkv = mm(h, wqkv_q, wqkv_s, j)
+
+            # lane->sublane relayout through scratch (per-head rows)
+            for i in range(Hq + 2 * Hkv):
+                sc_heads[i:i + 1, :] = qkv[:, i * D:(i + 1) * D]
+            q = _rms(sc_heads[0:Hq, :], q_n_ref[l], eps)
+            k = _rms(sc_heads[Hq:Hq + Hkv, :], k_n_ref[l], eps)
+            v = sc_heads[Hq + Hkv:Hq + 2 * Hkv, :]
+            q = rope(q)
+            k = rope(k)
+
+            # KV row write at n_past: one-hot masked full-block update
+            kv_out_ref[0, j, 0] = jnp.where(
+                pos == n_past, k[:, None, :].astype(kv_dtype),
+                kv_in_ref[0, j, 0])
+            kv_out_ref[0, j, 1] = jnp.where(
+                pos == n_past, v[:, None, :].astype(kv_dtype),
+                kv_in_ref[0, j, 1])
+
+            # GQA attention over cache[0:n_past+1] (per-kv-head NT dots)
+            for hh in range(Hkv):
+                qh = q[hh * G:(hh + 1) * G, :].astype(kv_dtype)   # [G, D]
+                kh = kv_out_ref[0, j, 0, hh]                       # [C, D]
+                vh = kv_out_ref[0, j, 1, hh]
+                s = jax.lax.dot_general(
+                    qh, kh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                s = jnp.where(valid, s, NEG_INF)
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                p = e / jnp.sum(e, axis=-1, keepdims=True)
+                oh = jax.lax.dot_general(
+                    p.astype(kv_dtype), vh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)            # [G, D]
+                for gg in range(G):
+                    sc_flat[0:1, (hh * G + gg) * D:(hh * G + gg + 1) * D] = \
+                        oh[gg:gg + 1, :]
+
+            x = x + mm(sc_flat[...], wo_q, wo_s, j)
+            h = _rms(x, ffn_n_ref[l], eps)
+            gu = mm(h, wgu_q, wgu_s, j)
+            gate = gu[:, :F]
+            gate = gate / (1.0 + jnp.exp(-gate))
+            x = x + mm(gate * gu[:, F:], wd_q, wd_s, j)
 
         x_ref[...] = x
-        hid_ref[...] = x
+
+        if with_head:
+            @pl.when(g == pl.num_programs(0) - 1)
+            def _():
+                normed = _rms(x_ref[...], out_n_ref[...], eps)
+                hid_ref[...] = normed
+                logits_ref[...] = jax.lax.dot_general(
+                    normed.astype(head_ref.dtype), head_ref[...],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        else:
+            hid_ref[...] = x
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mode", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "mode", "layers_per_step", "interpret"))
 def fused_talker_step(
     blocks,                    # BlockParams with QuantLinear projections
     cfg,                       # TalkerConfig
@@ -167,74 +191,106 @@ def fused_talker_step(
     n_past: jnp.ndarray,       # scalar int32
     kv: jnp.ndarray,           # [L, 2, Hkv, C, D]
     *,
+    output_norm: jnp.ndarray | None = None,   # [H] -> also apply norm+head
+    codec_head: jnp.ndarray | None = None,    # [H, Vc]
     mode: str = "w8a8",
+    layers_per_step: int = DEFAULT_LAYERS_PER_STEP,
     interpret: bool = False,
 ):
-    """One talker decode step through all layers; returns
-    (hidden [H] f32 pre-output-norm, kv updated at position n_past)."""
+    """One talker decode step through all layers.
+
+    Returns (hidden [H] f32, kv) — hidden is pre-output-norm; or, when
+    output_norm/codec_head are given, (normed_hidden [H] f32,
+    logits [Vc] f32, kv)."""
     H, L = cfg.hidden_size, cfg.n_layers
     Hq, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     F = cfg.intermediate_size
     C = kv.shape[3]
     half = D // 2
     QKV = (Hq + 2 * Hkv) * D
+    lps = layers_per_step if L % layers_per_step == 0 else 1
+    with_head = codec_head is not None
 
     angles = (jnp.asarray(n_past, jnp.float32)
               * cfg.rope_theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half))
     cos, sin = jnp.cos(angles)[None, :], jnp.sin(angles)[None, :]
 
-    kernel = _make_kernel(cfg, C, mode=mode, kv_dtype=kv.dtype)
+    kernel = _make_kernel(cfg, C, mode=mode, kv_dtype=kv.dtype, lps=lps,
+                          with_head=with_head)
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def blk(shape):
-        nd = len(shape)
+        nd = len(shape) + 1
         return pl.BlockSpec(
-            (1,) + shape, lambda l: (l,) + (0,) * nd, memory_space=pltpu.VMEM)
+            (1, lps) + shape, lambda g: (g,) + (0,) * nd,
+            memory_space=pltpu.VMEM)
 
-    hid_dummy = jax.ShapeDtypeStruct((1, H), jnp.float32)
-    kv_new, hidden = pl.pallas_call(
+    def grp(a):
+        """[L, ...] -> [L/lps, lps, ...] (free reshape on the leading axis)."""
+        return a.reshape((L // lps, lps) + a.shape[1:])
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),    # n_past (1,1)
+        vmem_full, vmem_full, vmem_full,          # x, cos, sin
+        vmem_full, vmem_full, vmem_full, vmem_full,  # norms [L,1,dim]
+        blk((H, QKV)), blk((1, QKV)),
+        blk((Hq * D, H)), blk((1, H)),
+        blk((H, 2 * F)), blk((1, 2 * F)),
+        blk((F, H)), blk((1, H)),
+    ]
+    operands = [
+        jnp.asarray(n_past, jnp.int32).reshape(1, 1),
+        step_embd.reshape(1, H), cos, sin,
+        blocks.attn_norm[:, None, :], blocks.q_norm[:, None, :],
+        blocks.k_norm[:, None, :], blocks.ffn_norm[:, None, :],
+        grp(blocks.wqkv.q), grp(blocks.wqkv.scale),
+        grp(blocks.wo.q), grp(blocks.wo.scale),
+        grp(blocks.w_gateup.q), grp(blocks.w_gateup.scale),
+        grp(blocks.w_down.q), grp(blocks.w_down.scale),
+    ]
+    if with_head:
+        Vc = codec_head.shape[-1]
+        in_specs += [vmem_full, vmem_full]
+        operands += [output_norm.reshape(1, H), codec_head]
+    kv_operand_index = len(operands)
+    in_specs.append(blk((2, Hkv, C, D)))
+    operands.append(grp(kv))
+
+    out_specs = [
+        blk((2, Hkv, C, D)),                      # kv out (aliased)
+        pl.BlockSpec((1, H), lambda g: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((L // lps, lps) + kv.shape[1:], kv.dtype),
+        jax.ShapeDtypeStruct((1, H), jnp.float32),
+    ]
+    if with_head:
+        out_specs.append(
+            pl.BlockSpec((1, Vc), lambda g: (0, 0), memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, Vc), jnp.float32))
+
+    outs = pl.pallas_call(
         kernel,
-        grid=(L,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),    # n_past (1,1)
-            vmem_full, vmem_full, vmem_full,          # x, cos, sin
-            vmem_full, vmem_full, vmem_full, vmem_full,  # norms [L,1,dim]
-            blk((H, QKV)), blk((1, QKV)),
-            blk((Hq * D, H)), blk((1, H)),
-            blk((H, 2 * F)), blk((1, 2 * F)),
-            blk((F, H)), blk((1, H)),
-            blk((2, Hkv, C, D)),                      # kv in
-        ],
-        out_specs=(
-            blk((2, Hkv, C, D)),                      # kv out (aliased)
-            pl.BlockSpec((1, H), lambda l: (0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct(kv.shape, kv.dtype),
-            hid_dummy,
-        ),
+        grid=(L // lps,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((1, H), jnp.float32),                 # x carry
             pltpu.VMEM((Hq + 2 * Hkv, D), jnp.float32),      # head split
             pltpu.VMEM((1, Hq * D), jnp.float32),            # head merge
         ],
-        input_output_aliases={16: 0},                 # kv in -> kv out
+        input_output_aliases={kv_operand_index: 0},          # kv in -> kv out
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            # double-buffered per-layer weight blocks (~15.7 MB int8) + the
-            # KV block in/out + scratch: well above the 16 MB default limit
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # double-buffered per-group weight blocks (~15.7*lps MB int8) +
+            # the KV block in/out + scratch
+            vmem_limit_bytes=115 * 1024 * 1024,
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(
-        jnp.asarray(n_past, jnp.int32).reshape(1, 1),
-        step_embd.reshape(1, H), cos, sin,
-        blocks.attn_norm[:, None, :], blocks.q_norm[:, None, :],
-        blocks.k_norm[:, None, :], blocks.ffn_norm[:, None, :],
-        blocks.wqkv.q, blocks.wqkv.scale,
-        blocks.wo.q, blocks.wo.scale,
-        blocks.w_gateup.q, blocks.w_gateup.scale,
-        blocks.w_down.q, blocks.w_down.scale,
-        kv,
-    )
-    return hidden[0], kv_new
+    )(*operands)
+
+    kv_new = outs[0].reshape(kv.shape)
+    if with_head:
+        return outs[1][0], outs[2][0], kv_new
+    return outs[1][0], kv_new

@@ -207,15 +207,13 @@ def _make_body(
         from ..ops.pallas_talker_step import MAX_FUSED_CAPACITY
 
         if use_fused_talker and s.kv.shape[3] <= MAX_FUSED_CAPACITY:
-            from ..ops.norms import rms_norm
             from ..ops.pallas_talker_step import fused_talker_step
 
-            hidden_raw, kv = fused_talker_step(
-                talker_params.blocks, talker_cfg, step_embd, s.n_past, s.kv)
-            hidden = rms_norm(hidden_raw.astype(dtype),
-                              talker_params.output_norm,
-                              talker_cfg.rms_norm_eps)
-            logits = (hidden @ talker_params.codec_head).astype(jnp.float32)
+            hidden_f32, logits, kv = fused_talker_step(
+                talker_params.blocks, talker_cfg, step_embd, s.n_past, s.kv,
+                output_norm=talker_params.output_norm,
+                codec_head=talker_params.codec_head)
+            hidden = hidden_f32.astype(dtype)
         else:
             hidden, logits, kv = talker_model.talker_step(
                 talker_params, talker_cfg, step_embd, s.n_past, s.kv)

@@ -64,6 +64,32 @@ def test_dequant_matches_forward_step_pos0(setup):
         np.asarray(kv_k), np.asarray(kv_ref), rtol=2e-4, atol=2e-4)
 
 
+def test_head_fusion_and_layer_grouping(setup):
+    """output-norm+codec-head fusion and layers_per_step=2 both match the
+    ungrouped, unfused-head dequant path."""
+    cfg, params, qblocks, deq_blocks, kv, x = setup
+    from qwen3tts_tpu.ops.norms import rms_norm
+
+    n_past = jnp.int32(5)
+    hidden_ref, kv_ref = pts.fused_talker_step(
+        qblocks, cfg, x, n_past, kv, mode="dequant", layers_per_step=1,
+        interpret=True)
+    normed_ref = rms_norm(hidden_ref, params.output_norm, cfg.rms_norm_eps)
+    logits_ref = (normed_ref.astype(params.codec_head.dtype)
+                  @ params.codec_head).astype(jnp.float32)
+
+    hidden2, logits2, kv2 = pts.fused_talker_step(
+        qblocks, cfg, x, n_past, kv, mode="dequant", layers_per_step=2,
+        output_norm=params.output_norm, codec_head=params.codec_head,
+        interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(hidden2), np.asarray(normed_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(logits2), np.asarray(logits_ref), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(kv2), np.asarray(kv_ref), rtol=2e-4, atol=2e-4)
+
+
 def test_w8a8_close(setup):
     cfg, params, qblocks, deq_blocks, kv, x = setup
     n_past = jnp.int32(3)

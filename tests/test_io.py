@@ -255,3 +255,75 @@ def test_from_pretrained_with_config_json(hf_dirs):
     assert tts.config.talker.n_layers == CFG.talker.n_layers
     r = tts.synthesize("Hi", SamplingConfig(temperature=0.0, top_k=0, max_audio_tokens=4))
     assert r.success, r.error_msg
+
+
+# ---------------------------------------------------------------------------
+# Q4_K (k-quant) format
+# ---------------------------------------------------------------------------
+
+def test_q4k_roundtrip_error_bound():
+    from qwen3tts_tpu.io.gguf import dequantize_q4_k, quantize_q4_k
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(8, 512)).astype(np.float32)
+    buf = quantize_q4_k(x)
+    assert len(buf) == 8 * 2 * 144          # 144 bytes / 256 values
+    y = dequantize_q4_k(buf, x.shape)
+    # 4-bit affine per 32 with 6-bit two-level scales: worst-case step is
+    # range/15 with 6-bit scale rounding on top
+    err = np.abs(y - x)
+    step = (x.reshape(-1, 32).max(1) - x.reshape(-1, 32).min(1)) / 15.0
+    assert err.max() < 1.8 * step.max(), (err.max(), step.max())
+    assert np.abs(y - x).mean() < 0.12
+
+
+def test_q4k_scale_packing_exact():
+    """The 6-bit (scale, min) packing must match ggml's get_scale_min_k4."""
+    from qwen3tts_tpu.io.gguf import _pack_scales_q4k, _unpack_scales_q4k
+
+    rng = np.random.default_rng(1)
+    ls = rng.integers(0, 64, size=(5, 8)).astype(np.uint8)
+    lm = rng.integers(0, 64, size=(5, 8)).astype(np.uint8)
+    packed = _pack_scales_q4k(ls, lm)
+    ls2, lm2 = _unpack_scales_q4k(packed)
+    np.testing.assert_array_equal(ls, ls2)
+    np.testing.assert_array_equal(lm, lm2)
+
+
+def test_q4k_gguf_roundtrip(tmp_path):
+    from qwen3tts_tpu.io.gguf import GGML_Q4_K, GGUFReader, GGUFWriter, T_U32
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(4, 256)).astype(np.float32)
+    w = GGUFWriter()
+    w.add_meta("qwen3-tts.test", T_U32, 7)
+    w.add_tensor("blk.0.w", x, ttype=GGML_Q4_K)
+    path = str(tmp_path / "q4k.gguf")
+    w.write(path)
+
+    r = GGUFReader(path)
+    assert r.tensor_type("blk.0.w") == GGML_Q4_K
+    y = r.tensor("blk.0.w")
+    assert y.shape == x.shape
+    assert np.abs(y - x).mean() < 0.12
+    assert r.tensor_q8("blk.0.w") is None   # int8 fast path correctly refuses
+
+
+def test_q4k_native_matches_python(tmp_path):
+    """The C++ fast-path dequant must bit-match the Python reference."""
+    pytest.importorskip("ctypes")
+    from qwen3tts_tpu.io.gguf import GGML_Q4_K, GGUFReader, GGUFWriter, T_U32
+    from qwen3tts_tpu.io.native import NativeGGUF, get_lib
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(4, 512)).astype(np.float32)
+    w = GGUFWriter()
+    w.add_meta("t", T_U32, 1)
+    w.add_tensor("a", x, ttype=GGML_Q4_K)
+    path = str(tmp_path / "q4k_native.gguf")
+    w.write(path)
+    py = GGUFReader(path).tensor("a").astype(np.float32)
+    nat = NativeGGUF(path).tensor("a")
+    np.testing.assert_array_equal(py, nat)

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Convert HF Qwen3-TTS checkpoints to GGUF (f16/f32/q8_0).
+"""Convert HF Qwen3-TTS checkpoints to GGUF (f16/f32/q8_0/q4_k).
 
 Counterpart of the reference's scripts/convert_tts_to_gguf.py and
 scripts/convert_tokenizer_to_gguf.py, built on this framework's own GGUF
@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from qwen3tts_tpu.io import tensor_names  # noqa: E402
 from qwen3tts_tpu.io.gguf import (  # noqa: E402
-    GGML_F16, GGML_F32, GGML_Q8_0, GGUFWriter, T_F32, T_STR, T_U32,
+    GGML_F16, GGML_F32, GGML_Q4_K, GGML_Q8_0, GGUFWriter, T_F32, T_STR, T_U32,
 )
 from qwen3tts_tpu.io.safetensors_io import SafetensorsDir  # noqa: E402
 
@@ -118,6 +118,10 @@ def convert(input_dir: str, output: str, out_type: str, kind: str) -> None:
             ttype = GGML_F32
         elif out_type == "q8_0" and tensor_names.should_quantize_q8(ggml) and data.shape[-1] % 32 == 0:
             ttype = GGML_Q8_0
+        elif out_type == "q4_k" and tensor_names.should_quantize_q8(ggml) and data.shape[-1] % 256 == 0:
+            # same selective policy as the reference converter: block
+            # projections quantize, embeddings/norms/heads/biases stay F16
+            ttype = GGML_Q4_K
         else:
             ttype = GGML_F16
         w.add_tensor(ggml, data, ttype=ttype)
@@ -131,7 +135,7 @@ def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", "-i", required=True)
     ap.add_argument("--output", "-o", required=True)
-    ap.add_argument("--type", "-t", choices=["f16", "f32", "q8_0"], default="f16")
+    ap.add_argument("--type", "-t", choices=["f16", "f32", "q8_0", "q4_k"], default="f16")
     ap.add_argument("--kind", choices=["tts", "tokenizer"], default="tts")
     args = ap.parse_args()
     convert(args.input, args.output, args.type, args.kind)

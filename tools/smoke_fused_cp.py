@@ -202,6 +202,28 @@ def main() -> None:
         qparams, cfg, th, cb0, jnp.int32(i), temperature=0.9, top_k=50))
     print(f"XLA predict_codes: {t_xla * 1e3:.3f} ms/frame (incl dispatch)")
     print(f"fused kernel:      {t_kern * 1e3:.3f} ms/frame (incl dispatch)")
+
+    # chained x32 under one jit: true device time without per-dispatch cost
+    N = 32
+
+    @jax.jit
+    def chained(qp, th, cb0):
+        def body(i, carry):
+            th, acc = carry
+            codes, rsum = pcp.fused_predict_codes(
+                qp, cfg, th, cb0, i, temperature=0.9, top_k=50)
+            return (th + 1e-6 * rsum.astype(th.dtype), acc + codes[0])
+        return jax.lax.fori_loop(0, N, body, (th, jnp.int32(0)))
+
+    out = chained(qparams, th, cb0)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = chained(qparams, th, cb0)
+        _ = np.asarray(out[1])
+        best = min(best, (time.perf_counter() - t0) / N)
+    print(f"fused kernel chained x{N}: {best * 1e3:.3f} ms/frame (device)")
     print("OK")
 
 
