@@ -312,6 +312,8 @@ def fused_predict_codes(
     loop's next-step embedding term (reference tts_transformer.cpp:2759-2790).
     Requires int8-quantized blocks (ops/quant.quantize_block_params).
     """
+    if jax.default_backend() == "cpu":
+        interpret = True   # CPU has no Mosaic: tests force the fused path
     blocks = cp_params.blocks
     H, L = cfg.hidden_size, cfg.n_layers
     CTX, S, V = cfg.max_ctx, cfg.n_steps, cfg.vocab_size

@@ -202,6 +202,8 @@ def fused_talker_step(
     Returns (hidden [H] f32, kv) — hidden is pre-output-norm; or, when
     output_norm/codec_head are given, (normed_hidden [H] f32,
     logits [Vc] f32, kv)."""
+    if jax.default_backend() == "cpu":
+        interpret = True   # CPU has no Mosaic: tests force the fused path
     H, L = cfg.hidden_size, cfg.n_layers
     Hq, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     F = cfg.intermediate_size

@@ -286,6 +286,7 @@ def generate_from_tokens(
     static_argnames=(
         "talker_cfg", "cp_cfg", "max_frames", "kv_capacity",
         "temperature", "top_k", "top_p", "repetition_penalty", "nothink",
+        "fused_cp",
     ),
 )
 def generate_from_tokens_batched(
@@ -306,12 +307,26 @@ def generate_from_tokens_batched(
     top_p: float = 1.0,
     repetition_penalty: float = 1.05,
     nothink: bool = False,
+    fused_cp="auto",
 ) -> GenerateResult:
     """Batched multi-utterance generation (BASELINE.json config #5): vmap over
     the full prefill+frame loop. Under vmap the while_loop runs until every
     utterance hits EOS or the frame budget; finished lanes mask their
     emissions. Shard the batch axis over the mesh's "dp" axis and the params
-    over "tp" (parallel/shardings.py) for multi-chip serving."""
+    over "tp" (parallel/shardings.py) for multi-chip serving.
+
+    With the batched fused code-predictor kernel available (TPU + int8 +
+    top_p off + B <= 16), a hand-batched loop replaces pure vmap: the kernel
+    reads the cp weights once per FRAME-SET instead of 15x and advances all
+    lanes through each AR step together (ops/pallas_code_predictor_batched)."""
+    B = tokens.shape[0]
+    if _resolve_fused_cp(fused_cp, cp_params, top_p) and B <= 16:
+        return _generate_batched_fused(
+            talker_params, cp_params, tokens, n_tokens, speaker_embd,
+            language_id, keys, talker_cfg=talker_cfg, cp_cfg=cp_cfg,
+            max_frames=max_frames, kv_capacity=kv_capacity,
+            temperature=temperature, top_k=top_k,
+            repetition_penalty=repetition_penalty, nothink=nothink)
 
     def one(tokens_i, n_i, spk_i, lang_i, key_i):
         prefill = talker_model.build_prefill(
@@ -324,6 +339,121 @@ def generate_from_tokens_batched(
             fused_talker=False)
 
     return jax.vmap(one)(tokens, n_tokens, speaker_embd, language_id, keys)
+
+
+class _BatchedState(NamedTuple):
+    it: jnp.ndarray          # scalar iteration counter (== n_past - prefill)
+    n_past: jnp.ndarray      # scalar: lockstep across lanes (fixed prefill)
+    logits: jnp.ndarray      # [B, Vc]
+    last_hidden: jnp.ndarray  # [B, H]
+    kv: jnp.ndarray          # [B, L, 2, Hkv, C, D]
+    seen: jnp.ndarray        # [B, Vc]
+    frame: jnp.ndarray       # [B]
+    codes: jnp.ndarray       # [B, maxF, 16]
+    hidden_out: jnp.ndarray  # [B, maxF, H]
+    key: jax.Array
+    done: jnp.ndarray        # [B]
+
+
+def _generate_batched_fused(
+    talker_params, cp_params, tokens, n_tokens, speaker_embd, language_id,
+    keys, *, talker_cfg, cp_cfg, max_frames, kv_capacity, temperature, top_k,
+    repetition_penalty, nothink,
+) -> GenerateResult:
+    """Hand-batched frame loop: per-lane semantics identical to the vmapped
+    path (emission masking, latched EOS), but the code predictor runs as ONE
+    batched Pallas kernel per frame-set. n_past is a shared scalar because
+    the prefill window length is fixed; finished lanes keep stepping (their
+    outputs are masked), matching vmap-of-while_loop cost semantics."""
+    from ..ops.pallas_code_predictor_batched import fused_predict_codes_batched
+
+    B = tokens.shape[0]
+    H = talker_cfg.hidden_size
+    Vc = talker_cfg.codec_vocab_size
+    suppress_start = Vc - talker_cfg.n_suppressed_tail
+    dtype = talker_params.codec_embd.dtype
+    key = keys[0]
+
+    prefill = jax.vmap(
+        lambda t, n, sp, lg: talker_model.build_prefill(
+            talker_params, talker_cfg, t, n, sp, lg, nothink=nothink)
+    )(tokens, n_tokens, speaker_embd, language_id)
+    prefill_len = prefill.prefill_embd.shape[1]
+    Trb = prefill.trailing.shape[1]
+
+    kv0 = talker_model.make_kv_cache(talker_cfg, kv_capacity, dtype)
+    last_hidden, logits, kv = jax.vmap(
+        lambda pe: talker_model.talker_prefill(talker_params, talker_cfg, pe, kv0)
+    )(prefill.prefill_embd)
+
+    state = _BatchedState(
+        it=jnp.int32(0),
+        n_past=jnp.int32(prefill_len),
+        logits=logits,
+        last_hidden=last_hidden,
+        kv=kv,
+        seen=jnp.zeros((B, Vc), jnp.bool_),
+        frame=jnp.zeros((B,), jnp.int32),
+        codes=jnp.zeros((B, max_frames, talker_cfg.n_codebooks), jnp.int32),
+        hidden_out=jnp.zeros((B, max_frames, H), dtype),
+        key=key,
+        done=jnp.zeros((B,), jnp.bool_),
+    )
+    rows = jnp.arange(B)
+
+    def body(s: _BatchedState) -> _BatchedState:
+        l = apply_suppression(s.logits, suppress_start, talker_cfg.codec_eos_id)
+        l = apply_repetition_penalty(l, s.seen, repetition_penalty)
+        key, k_cb0, k_cp = jax.random.split(s.key, 3)
+        cb0 = sample_token(k_cb0, l, temperature=temperature, top_k=top_k)
+        done = jnp.logical_or(s.done, cb0 == talker_cfg.codec_eos_id)
+        emit = ~done
+
+        cb0_embd = talker_params.codec_embd[cb0]            # [B, H]
+        seed = lax.bitcast_convert_type(
+            jax.random.bits(k_cp, (), "uint32"), jnp.int32)
+        rest, rest_sum = fused_predict_codes_batched(
+            cp_params, cp_cfg, s.last_hidden.astype(dtype), cb0_embd, seed,
+            temperature=temperature, top_k=top_k)
+        frame_codes = jnp.concatenate([cb0[:, None], rest], axis=1)
+
+        old_codes = s.codes[rows, s.frame]
+        codes = s.codes.at[rows, s.frame].set(
+            jnp.where(emit[:, None], frame_codes, old_codes))
+        old_h = s.hidden_out[rows, s.frame]
+        hidden_out = s.hidden_out.at[rows, s.frame].set(
+            jnp.where(emit[:, None], s.last_hidden.astype(s.hidden_out.dtype), old_h))
+        seen = s.seen.at[rows, cb0].set(s.seen[rows, cb0] | emit)
+
+        trailing_row = prefill.trailing[rows, jnp.minimum(s.frame, Trb - 1)]
+        step_embd = (cb0_embd.astype(jnp.float32) + rest_sum
+                     + trailing_row.astype(jnp.float32)).astype(dtype)
+
+        hidden, logits, kv = jax.vmap(
+            lambda e, kvi: talker_model.talker_step(
+                talker_params, talker_cfg, e, s.n_past, kvi)
+        )(step_embd, s.kv)
+
+        return _BatchedState(
+            it=s.it + 1,
+            n_past=s.n_past + 1,
+            logits=logits,
+            last_hidden=hidden,
+            kv=kv,
+            seen=seen,
+            frame=s.frame + emit.astype(jnp.int32),
+            codes=codes,
+            hidden_out=hidden_out,
+            key=key,
+            done=done,
+        )
+
+    def cond(s: _BatchedState):
+        return jnp.logical_and(jnp.any(~s.done), s.it < max_frames)
+
+    final = lax.while_loop(cond, body, state)
+    return GenerateResult(codes=final.codes, n_frames=final.frame,
+                          hidden=final.hidden_out)
 
 
 # ---------------------------------------------------------------------------
