@@ -40,7 +40,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-MAX_FUSED_CAPACITY = 1024   # KV block (2*Hkv*C*D) must fit in VMEM twice
+# KV blocks (2*Hkv*C*D per layer group) ride the grid in and out: the
+# kernel's KV traffic scales with CAPACITY, the XLA+flash fallback's with the
+# valid prefix. Measured crossover: at C=1280 the fused kernel LOSES (221 vs
+# 360 frames/s on the 1024-frame long-form run), at C<=512 it wins big — so
+# the gate stays at 1024. A valid-prefix chunked-DMA variant would remove
+# the trade-off.
+MAX_FUSED_CAPACITY = 1024
 DEFAULT_LAYERS_PER_STEP = 2
 
 

@@ -286,7 +286,7 @@ def generate_from_tokens(
     static_argnames=(
         "talker_cfg", "cp_cfg", "max_frames", "kv_capacity",
         "temperature", "top_k", "top_p", "repetition_penalty", "nothink",
-        "fused_cp",
+        "fused_cp", "allow_eos",
     ),
 )
 def generate_from_tokens_batched(
@@ -308,6 +308,7 @@ def generate_from_tokens_batched(
     repetition_penalty: float = 1.05,
     nothink: bool = False,
     fused_cp="auto",
+    allow_eos: bool = True,
 ) -> GenerateResult:
     """Batched multi-utterance generation (BASELINE.json config #5): vmap over
     the full prefill+frame loop. Under vmap the while_loop runs until every
@@ -326,7 +327,8 @@ def generate_from_tokens_batched(
             language_id, keys, talker_cfg=talker_cfg, cp_cfg=cp_cfg,
             max_frames=max_frames, kv_capacity=kv_capacity,
             temperature=temperature, top_k=top_k,
-            repetition_penalty=repetition_penalty, nothink=nothink)
+            repetition_penalty=repetition_penalty, nothink=nothink,
+            allow_eos=allow_eos)
 
     def one(tokens_i, n_i, spk_i, lang_i, key_i):
         prefill = talker_model.build_prefill(
@@ -336,7 +338,7 @@ def generate_from_tokens_batched(
             max_frames=max_frames, kv_capacity=kv_capacity,
             temperature=temperature, top_k=top_k, top_p=top_p,
             repetition_penalty=repetition_penalty, fused_cp=False,
-            fused_talker=False)
+            fused_talker=False, allow_eos=allow_eos)
 
     return jax.vmap(one)(tokens, n_tokens, speaker_embd, language_id, keys)
 
@@ -358,7 +360,7 @@ class _BatchedState(NamedTuple):
 def _generate_batched_fused(
     talker_params, cp_params, tokens, n_tokens, speaker_embd, language_id,
     keys, *, talker_cfg, cp_cfg, max_frames, kv_capacity, temperature, top_k,
-    repetition_penalty, nothink,
+    repetition_penalty, nothink, allow_eos=True,
 ) -> GenerateResult:
     """Hand-batched frame loop: per-lane semantics identical to the vmapped
     path (emission masking, latched EOS), but the code predictor runs as ONE
@@ -402,11 +404,13 @@ def _generate_batched_fused(
     rows = jnp.arange(B)
 
     def body(s: _BatchedState) -> _BatchedState:
-        l = apply_suppression(s.logits, suppress_start, talker_cfg.codec_eos_id)
+        eos_for_mask = talker_cfg.codec_eos_id if allow_eos else -1
+        l = apply_suppression(s.logits, suppress_start, eos_for_mask)
         l = apply_repetition_penalty(l, s.seen, repetition_penalty)
         key, k_cb0, k_cp = jax.random.split(s.key, 3)
         cb0 = sample_token(k_cb0, l, temperature=temperature, top_k=top_k)
-        done = jnp.logical_or(s.done, cb0 == talker_cfg.codec_eos_id)
+        done = jnp.logical_or(
+            s.done, jnp.logical_and(cb0 == talker_cfg.codec_eos_id, allow_eos))
         emit = ~done
 
         cb0_embd = talker_params.codec_embd[cb0]            # [B, H]
