@@ -302,3 +302,317 @@ def fused_talker_step(
     if with_head:
         return outs[1][0], outs[2][0], kv_new
     return outs[1][0], kv_new
+
+
+# ---------------------------------------------------------------------------
+# v2: HBM-resident KV with valid-prefix chunked DMA (flash-decode attention)
+# ---------------------------------------------------------------------------
+#
+# The v1 kernel above carries whole KV blocks [lps, 2, Hkv, C, D] through
+# VMEM as aliased grid inputs/outputs: its KV traffic scales with CAPACITY
+# (read + write back every layer) and the double-buffered blocks bound it to
+# C <= 1024. This variant leaves the cache in HBM (pl.ANY) and, per layer,
+# DMAs only the VALID prefix in CHUNK-row slabs, double-buffered behind the
+# flash (online-softmax) accumulation — KV traffic is proportional to n_past,
+# there is no capacity gate, and the freed VMEM headroom belongs to weights.
+#
+# The current step's K/V row never enters the cache inside the kernel: its
+# attention contribution is folded analytically into the flash state as one
+# extra column, the per-layer rows are returned as a [L, 2, Hkv, D] output,
+# and the caller scatters them at n_past with ONE dynamic_update_slice
+# (in-place on the donated while_loop carry).
+
+_DEFAULT_KV_CHUNK = 256
+
+
+def _make_kernel_hbm(cfg, C, *, mode, kv_dtype, lps, with_head, chunk):
+    H = cfg.hidden_size
+    L = cfg.n_layers
+    Hq, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    G = Hq // Hkv
+    F = cfg.intermediate_size
+    eps = cfg.rms_norm_eps
+    scale = D ** -0.5
+
+    def mm(x, wq_ref, ws_ref, j):
+        wq = wq_ref[0, j]
+        ws = ws_ref[0, j].astype(jnp.float32)
+        if mode == "w8a8":
+            amax = jnp.max(jnp.abs(x))
+            s_act = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+            xq = jnp.clip(jnp.round(x / s_act), -127.0, 127.0).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                xq, wq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return acc.astype(jnp.float32) * (s_act * ws)
+        w = wq.astype(jnp.float32) * ws
+        return jax.lax.dot_general(
+            x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    def kernel(n_past_ref, x_in_ref, cos_ref, sin_ref,
+               attn_n_ref, q_n_ref, k_n_ref, ffn_n_ref,
+               wqkv_q, wqkv_s, wo_q, wo_s, wgu_q, wgu_s, wd_q, wd_s,
+               *rest):
+        if with_head:
+            (out_n_ref, head_ref, kv_hbm,
+             kvrow_ref, hid_ref, logits_ref,
+             x_ref, sc_heads, sc_flat, kv_buf, sem) = rest
+        else:
+            (kv_hbm, kvrow_ref, hid_ref,
+             x_ref, sc_heads, sc_flat, kv_buf, sem) = rest
+
+        g = pl.program_id(0)
+        n_past = n_past_ref[0, 0]
+        # prefix chunks to stream: ceil(n_past / chunk)
+        trip = lax.div(n_past + (chunk - 1), jnp.int32(chunk))
+
+        @pl.when(g == 0)
+        def _():
+            x_ref[...] = x_in_ref[...].astype(jnp.float32)
+
+        x = x_ref[...]
+        cos = cos_ref[...].astype(jnp.float32)
+        sin = sin_ref[...].astype(jnp.float32)
+
+        def rope(t):
+            half = D // 2
+            t1, t2 = t[:, :half], t[:, half:]
+            return jnp.concatenate(
+                [t1 * cos - t2 * sin, t1 * sin + t2 * cos], axis=-1)
+
+        for j in range(lps):
+            l = g * lps + j
+            h = _rms(x, attn_n_ref[l], eps)
+            qkv = mm(h, wqkv_q, wqkv_s, j)
+
+            for i in range(Hq + 2 * Hkv):
+                sc_heads[i:i + 1, :] = qkv[:, i * D:(i + 1) * D]
+            q = _rms(sc_heads[0:Hq, :], q_n_ref[l], eps)
+            k = _rms(sc_heads[Hq:Hq + Hkv, :], k_n_ref[l], eps)
+            v = sc_heads[Hq + Hkv:Hq + 2 * Hkv, :]
+            q = rope(q)
+            k = rope(k)
+
+            kvrow_ref[0, j, 0] = k.astype(kv_dtype)
+            kvrow_ref[0, j, 1] = v.astype(kv_dtype)
+
+            # match the v1/XLA numerics: q and the cached K/V interact at the
+            # cache dtype (the current row goes through the same cast)
+            qc = q.astype(kv_dtype)
+            kc = k.astype(kv_dtype)
+            vc = v.astype(kv_dtype)
+
+            def dma(c, slot):
+                off = pl.multiple_of(c * chunk, chunk)
+                return pltpu.make_async_copy(
+                    kv_hbm.at[l, :, :, pl.ds(off, chunk), :],
+                    kv_buf.at[slot], sem.at[slot])
+
+            @pl.when(trip > 0)
+            def _():
+                dma(jnp.int32(0), jnp.int32(0)).start()
+
+            # flash state stacked [Hkv, G, *]: per-head updates rebuild the
+            # stack by concatenation on the untiled leading axis (Mosaic has
+            # no scatter; value .at[].set would not lower)
+            def chunk_body(c, carry):
+                m, lsum, acc = carry
+                slot = lax.rem(c, 2)
+
+                @pl.when(c + 1 < trip)
+                def _():
+                    dma(c + 1, 1 - slot).start()
+
+                dma(c, slot).wait()
+                col = c * chunk + lax.broadcasted_iota(
+                    jnp.int32, (G, chunk), 1)
+                valid = col < n_past
+                ms, ls, accs = [], [], []
+                for hh in range(Hkv):
+                    rows = slice(hh * G, (hh + 1) * G)
+                    s = jax.lax.dot_general(
+                        qc[rows], kv_buf[slot, 0, hh],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) * scale
+                    s = jnp.where(valid, s, NEG_INF)
+                    m_new = jnp.maximum(
+                        m[hh], jnp.max(s, axis=-1, keepdims=True))
+                    p = jnp.exp(s - m_new)
+                    alpha = jnp.exp(m[hh] - m_new)
+                    ls.append((alpha * lsum[hh]
+                               + jnp.sum(p, axis=-1, keepdims=True))[None])
+                    accs.append((acc[hh] * alpha + jax.lax.dot_general(
+                        p.astype(kv_dtype), kv_buf[slot, 1, hh],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))[None])
+                    ms.append(m_new[None])
+                return (jnp.concatenate(ms, axis=0),
+                        jnp.concatenate(ls, axis=0),
+                        jnp.concatenate(accs, axis=0))
+
+            m0 = jnp.full((Hkv, G, 1), NEG_INF, jnp.float32)
+            l0 = jnp.zeros((Hkv, G, 1), jnp.float32)
+            a0 = jnp.zeros((Hkv, G, D), jnp.float32)
+            m, lsum, acc = lax.fori_loop(0, trip, chunk_body, (m0, l0, a0))
+
+            # fold in the current step's K/V as one extra attention column
+            for hh in range(Hkv):
+                rows = slice(hh * G, (hh + 1) * G)
+                # [G, 1] score vs the current row: elementwise reduce (an
+                # N=1 NT dot trips a Mosaic vector.broadcast verifier bug)
+                s_cur = jnp.sum(
+                    qc[rows].astype(jnp.float32)
+                    * kc[hh:hh + 1].astype(jnp.float32),
+                    axis=-1, keepdims=True) * scale
+                m_fin = jnp.maximum(m[hh], s_cur)
+                p_cur = jnp.exp(s_cur - m_fin)
+                alpha = jnp.exp(m[hh] - m_fin)
+                l_fin = alpha * lsum[hh] + p_cur
+                o = (acc[hh] * alpha
+                     + p_cur * vc[hh:hh + 1].astype(jnp.float32))
+                o = o / jnp.maximum(l_fin, 1e-30)
+                for gg in range(G):
+                    sc_flat[0:1, (hh * G + gg) * D:(hh * G + gg + 1) * D] = \
+                        o[gg:gg + 1, :]
+
+            x = x + mm(sc_flat[...], wo_q, wo_s, j)
+            h = _rms(x, ffn_n_ref[l], eps)
+            gu = mm(h, wgu_q, wgu_s, j)
+            gate = gu[:, :F]
+            gate = gate / (1.0 + jnp.exp(-gate))
+            x = x + mm(gate * gu[:, F:], wd_q, wd_s, j)
+
+        x_ref[...] = x
+
+        if with_head:
+            @pl.when(g == pl.num_programs(0) - 1)
+            def _():
+                normed = _rms(x_ref[...], out_n_ref[...], eps)
+                hid_ref[...] = normed
+                logits_ref[...] = jax.lax.dot_general(
+                    normed.astype(head_ref.dtype), head_ref[...],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        else:
+            hid_ref[...] = x
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "mode", "layers_per_step", "chunk", "interpret"))
+def fused_talker_step_hbm(
+    blocks,                    # BlockParams with QuantLinear projections
+    cfg,                       # TalkerConfig
+    step_embd: jnp.ndarray,    # [H]
+    n_past: jnp.ndarray,       # scalar int32
+    kv: jnp.ndarray,           # [L, 2, Hkv, C, D]
+    *,
+    output_norm: jnp.ndarray | None = None,
+    codec_head: jnp.ndarray | None = None,
+    mode: str = "w8a8",
+    layers_per_step: int = DEFAULT_LAYERS_PER_STEP,
+    chunk: int = _DEFAULT_KV_CHUNK,
+    interpret: bool = False,
+):
+    """One talker decode step, KV cache resident in HBM (no capacity gate).
+
+    Same contract as fused_talker_step: returns (hidden, kv) or
+    (normed_hidden, logits, kv) with the cache row at n_past updated (the
+    scatter happens outside the kernel as one dynamic_update_slice)."""
+    if jax.default_backend() == "cpu":
+        interpret = True
+    H, L = cfg.hidden_size, cfg.n_layers
+    Hq, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    F = cfg.intermediate_size
+    C = kv.shape[3]
+    half = D // 2
+    QKV = (Hq + 2 * Hkv) * D
+    lps = layers_per_step if L % layers_per_step == 0 else 1
+    chunk = min(chunk, C)
+    assert C % chunk == 0, f"capacity {C} not a multiple of kv chunk {chunk}"
+    with_head = codec_head is not None
+
+    angles = (jnp.asarray(n_past, jnp.float32)
+              * cfg.rope_theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half))
+    cos, sin = jnp.cos(angles)[None, :], jnp.sin(angles)[None, :]
+
+    kernel = _make_kernel_hbm(cfg, C, mode=mode, kv_dtype=kv.dtype, lps=lps,
+                              with_head=with_head, chunk=chunk)
+    vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def blk(shape):
+        nd = len(shape) + 1
+        return pl.BlockSpec(
+            (1, lps) + shape, lambda g: (g,) + (0,) * nd,
+            memory_space=pltpu.VMEM)
+
+    def grp(a):
+        return a.reshape((L // lps, lps) + a.shape[1:])
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),    # n_past (1,1)
+        vmem_full, vmem_full, vmem_full,          # x, cos, sin
+        vmem_full, vmem_full, vmem_full, vmem_full,  # norms [L,1,dim]
+        blk((H, QKV)), blk((1, QKV)),
+        blk((Hq * D, H)), blk((1, H)),
+        blk((H, 2 * F)), blk((1, 2 * F)),
+        blk((F, H)), blk((1, H)),
+    ]
+    operands = [
+        jnp.asarray(n_past, jnp.int32).reshape(1, 1),
+        step_embd.reshape(1, H), cos, sin,
+        blocks.attn_norm[:, None, :], blocks.q_norm[:, None, :],
+        blocks.k_norm[:, None, :], blocks.ffn_norm[:, None, :],
+        grp(blocks.wqkv.q), grp(blocks.wqkv.scale),
+        grp(blocks.wo.q), grp(blocks.wo.scale),
+        grp(blocks.w_gateup.q), grp(blocks.w_gateup.scale),
+        grp(blocks.w_down.q), grp(blocks.w_down.scale),
+    ]
+    if with_head:
+        Vc = codec_head.shape[-1]
+        in_specs += [vmem_full, vmem_full]
+        operands += [output_norm.reshape(1, H), codec_head]
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # kv stays in HBM
+    operands.append(kv)
+
+    out_specs = [
+        blk((2, Hkv, D)),                          # current-step K/V rows
+        pl.BlockSpec((1, H), lambda g: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((L // lps, lps, 2, Hkv, D), kv.dtype),
+        jax.ShapeDtypeStruct((1, H), jnp.float32),
+    ]
+    if with_head:
+        out_specs.append(
+            pl.BlockSpec((1, Vc), lambda g: (0, 0), memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, Vc), jnp.float32))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(L // lps,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((1, H), jnp.float32),                 # x carry
+            pltpu.VMEM((Hq + 2 * Hkv, D), jnp.float32),      # head split
+            pltpu.VMEM((1, Hq * D), jnp.float32),            # head merge
+            pltpu.VMEM((2, 2, Hkv, chunk, D), kv.dtype),     # KV chunk x2
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=115 * 1024 * 1024,
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(*operands)
+
+    # scatter the new K/V rows at n_past: ONE in-place update on the carry
+    rows = outs[0].reshape(L, 2, Hkv, 1, D)
+    kv_new = lax.dynamic_update_slice(
+        kv, rows, (0, 0, 0, jnp.asarray(n_past, jnp.int32), 0))
+    if with_head:
+        return outs[1][0], outs[2][0], kv_new
+    return outs[1][0], kv_new

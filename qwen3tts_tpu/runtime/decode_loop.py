@@ -204,12 +204,24 @@ def _make_body(
                      + trailing_row.astype(jnp.float32)).astype(dtype)
 
         # --- talker step ---
+        # v1 (KV rides the grid through VMEM) wins at small capacities;
+        # v2 (KV in HBM, valid-prefix chunked DMA) has no capacity gate and
+        # keeps the same speed at long-form budgets (measured: v1 1.23 /
+        # v2 1.35 ms/step at C=512; v2 1.36 vs XLA 1.82 at C=2304).
         from ..ops.pallas_talker_step import MAX_FUSED_CAPACITY
 
         if use_fused_talker and s.kv.shape[3] <= MAX_FUSED_CAPACITY:
             from ..ops.pallas_talker_step import fused_talker_step
 
             hidden_f32, logits, kv = fused_talker_step(
+                talker_params.blocks, talker_cfg, step_embd, s.n_past, s.kv,
+                output_norm=talker_params.output_norm,
+                codec_head=talker_params.codec_head)
+            hidden = hidden_f32.astype(dtype)
+        elif use_fused_talker:
+            from ..ops.pallas_talker_step import fused_talker_step_hbm
+
+            hidden_f32, logits, kv = fused_talker_step_hbm(
                 talker_params.blocks, talker_cfg, step_embd, s.n_past, s.kv,
                 output_norm=talker_params.output_norm,
                 codec_head=talker_params.codec_head)

@@ -90,6 +90,40 @@ def test_head_fusion_and_layer_grouping(setup):
         np.asarray(kv2), np.asarray(kv_ref), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("n_past", [0, 7, 31])
+def test_hbm_variant_matches_forward_step(setup, n_past):
+    """v2 (HBM KV, valid-prefix chunked DMA + flash softmax) matches the XLA
+    step, including the empty-prefix and full-capacity edges."""
+    cfg, params, qblocks, deq_blocks, kv, x = setup
+    kv0 = jnp.zeros_like(kv) if n_past == 0 else kv
+    hidden_ref, kv_ref = forward_step(
+        deq_blocks, talker_model.core_config(cfg), x, jnp.int32(n_past), kv0)
+    hidden_k, kv_k = pts.fused_talker_step_hbm(
+        qblocks, cfg, x, jnp.int32(n_past), kv0, mode="dequant", chunk=8,
+        interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(hidden_k), np.asarray(hidden_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(kv_k), np.asarray(kv_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_hbm_variant_head_and_grouping(setup):
+    """v2 with fused output-norm+head and layers_per_step=2 matches v1."""
+    cfg, params, qblocks, deq_blocks, kv, x = setup
+    n_past = jnp.int32(5)
+    h1, l1, kv1 = pts.fused_talker_step(
+        qblocks, cfg, x, n_past, kv, mode="dequant", layers_per_step=2,
+        output_norm=params.output_norm, codec_head=params.codec_head,
+        interpret=True)
+    h2, l2, kv2 = pts.fused_talker_step_hbm(
+        qblocks, cfg, x, n_past, kv, mode="dequant", layers_per_step=2,
+        chunk=8, output_norm=params.output_norm, codec_head=params.codec_head,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h1), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(kv2), np.asarray(kv1), rtol=2e-4, atol=2e-4)
+
+
 def test_w8a8_close(setup):
     cfg, params, qblocks, deq_blocks, kv, x = setup
     n_past = jnp.int32(3)
