@@ -69,6 +69,14 @@ def main() -> None:
         tp = tp._replace(blocks=quantize_block_params(tp.blocks))
         cp = cp._replace(blocks=quantize_block_params(cp.blocks))
         jax.block_until_ready((tp.blocks.wqkv.q, cp.blocks.wqkv.q))
+    elif quant == "q4":
+        # Q4_K-tier serving: 4-bit talker (w4a8 fused kernel), int8 cp —
+        # mirrors pipeline.py's quant="q4" policy
+        from qwen3tts_tpu.ops.quant import (
+            quantize_block_params, quantize_block_params_w4)
+        tp = tp._replace(blocks=quantize_block_params_w4(tp.blocks))
+        cp = cp._replace(blocks=quantize_block_params(cp.blocks))
+        jax.block_until_ready((tp.blocks.wqkv.q, cp.blocks.wqkv.q))
     print(f"param init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     N_FRAMES = 256

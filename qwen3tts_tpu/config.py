@@ -190,7 +190,8 @@ class RuntimeConfig:
 
     # Parameter / activation compute dtype ("bfloat16" or "float32").
     dtype: str = "bfloat16"
-    # Weight quantization: None | "int8" (Q8_0-parity selective policy).
+    # Weight quantization: None | "int8" (Q8_0-parity selective policy) |
+    # "q4" (Q4_K-tier: 4-bit talker blocks + int8 code predictor).
     quant: str | None = None
     # Prefill-length buckets (text prompts are padded up to one of these).
     prefill_buckets: Tuple[int, ...] = (16, 32, 64, 128, 256, 512)

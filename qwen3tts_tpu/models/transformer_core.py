@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops import attention as attn_ops
-from ..ops.quantized_matmul import matmul as _mm
+from ..ops.quantized_matmul import matmul as _mm, weight_in_dim as _win
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, rope_for_positions
 
@@ -100,7 +100,7 @@ def _layer(params, cfg: CoreConfig, x, cos, sin, attend):
     x = x + _mm(o.reshape(T, Hq * D), params.wo)
 
     h = rms_norm(x, params.ffn_norm, cfg.rms_norm_eps)
-    F = (params.w_down.q if hasattr(params.w_down, "q") else params.w_down).shape[-2]
+    F = _win(params.w_down)
     gateup = _mm(h, params.w_gateup)
     gate = jax.nn.silu(gateup[:, :F].astype(jnp.float32)).astype(h.dtype)
     x = x + _mm(gate * gateup[:, F:], params.w_down)

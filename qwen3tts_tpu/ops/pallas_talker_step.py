@@ -65,6 +65,62 @@ def _rms(x, w, eps):
     return x * lax.rsqrt(var + eps) * w.astype(jnp.float32)
 
 
+def _make_mm(mode):
+    """In-kernel x[1,K] @ W for sub-layer j of the grid step's weight block.
+
+    Modes: "w8a8" int8 weights / dynamic per-token int8 activations (int32
+    MXU accum); "dequant" int8 weights dequantized to f32 (test reference);
+    "w4a8"/"w4dequant" the same pair for split-half nibble-packed int4
+    weights (QuantLinear4): the byte block [K/2, N] unpacks into two
+    contiguous int8 halves (mask/shift only, no interleave), each dotted with
+    its half of the activation and scaled per-half-per-channel — halved HBM
+    weight traffic for two half-K dots and a few VPU ops."""
+
+    def quant_act(x):
+        amax = jnp.max(jnp.abs(x))
+        s_act = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+        xq = jnp.clip(jnp.round(x / s_act), -127.0, 127.0).astype(jnp.int8)
+        return xq, s_act
+
+    def dot(a, b, accum_dtype):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=accum_dtype)
+
+    def mm(x, wq_ref, ws_ref, j):
+        wq = wq_ref[0, j]
+        ws = ws_ref[0, j].astype(jnp.float32)
+        if mode in ("w4a8", "w4dequant"):
+            Kh = wq.shape[0]
+            b = wq.astype(jnp.int32)
+            lo = ((b & 15) - 8).astype(jnp.int8)
+            hi = (((b >> 4) & 15) - 8).astype(jnp.int8)
+            if mode == "w4a8":
+                xq, s_act = quant_act(x)
+                return (dot(xq[:, :Kh], lo, jnp.int32).astype(jnp.float32)
+                        * ws[0:1]
+                        + dot(xq[:, Kh:], hi, jnp.int32).astype(jnp.float32)
+                        * ws[1:2]) * s_act
+            return (dot(x[:, :Kh], lo.astype(jnp.float32), jnp.float32)
+                    * ws[0:1]
+                    + dot(x[:, Kh:], hi.astype(jnp.float32), jnp.float32)
+                    * ws[1:2])
+        if mode == "w8a8":
+            xq, s_act = quant_act(x)
+            return dot(xq, wq, jnp.int32).astype(jnp.float32) * (s_act * ws)
+        return dot(x, wq.astype(jnp.float32) * ws, jnp.float32)
+
+    return mm
+
+
+def _weight_mode(blocks, mode):
+    """Resolve the kernel weight mode from the block pytree's leaf type."""
+    from .quantized_matmul import QuantLinear4
+
+    if isinstance(blocks.wqkv, QuantLinear4):
+        return "w4dequant" if mode == "dequant" else "w4a8"
+    return mode
+
+
 def _make_kernel(cfg, C, *, mode, kv_dtype, lps, with_head):
     H = cfg.hidden_size
     L = cfg.n_layers
@@ -73,22 +129,7 @@ def _make_kernel(cfg, C, *, mode, kv_dtype, lps, with_head):
     F = cfg.intermediate_size
     eps = cfg.rms_norm_eps
     scale = D ** -0.5
-
-    def mm(x, wq_ref, ws_ref, j):
-        """x [1, K] f32 @ sub-layer j of this group's weight block."""
-        wq = wq_ref[0, j]                       # [K, N] int8
-        ws = ws_ref[0, j].astype(jnp.float32)   # [1, N]
-        if mode == "w8a8":
-            amax = jnp.max(jnp.abs(x))
-            s_act = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
-            xq = jnp.clip(jnp.round(x / s_act), -127.0, 127.0).astype(jnp.int8)
-            acc = jax.lax.dot_general(
-                xq, wq, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            return acc.astype(jnp.float32) * (s_act * ws)
-        w = wq.astype(jnp.float32) * ws
-        return jax.lax.dot_general(
-            x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    mm = _make_mm(mode)
 
     def kernel(n_past_ref, x_in_ref, cos_ref, sin_ref,
                attn_n_ref, q_n_ref, k_n_ref, ffn_n_ref,
@@ -218,6 +259,8 @@ def fused_talker_step(
     QKV = (Hq + 2 * Hkv) * D
     lps = layers_per_step if L % layers_per_step == 0 else 1
     with_head = codec_head is not None
+    mode = _weight_mode(blocks, mode)
+    kdiv = 2 if mode.startswith("w4") else 1   # packed rows; scale rows = kdiv
 
     angles = (jnp.asarray(n_past, jnp.float32)
               * cfg.rope_theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half))
@@ -241,10 +284,10 @@ def fused_talker_step(
         pl.BlockSpec(memory_space=pltpu.SMEM),    # n_past (1,1)
         vmem_full, vmem_full, vmem_full,          # x, cos, sin
         vmem_full, vmem_full, vmem_full, vmem_full,  # norms [L,1,dim]
-        blk((H, QKV)), blk((1, QKV)),
-        blk((Hq * D, H)), blk((1, H)),
-        blk((H, 2 * F)), blk((1, 2 * F)),
-        blk((F, H)), blk((1, H)),
+        blk((H // kdiv, QKV)), blk((kdiv, QKV)),
+        blk((Hq * D // kdiv, H)), blk((kdiv, H)),
+        blk((H // kdiv, 2 * F)), blk((kdiv, 2 * F)),
+        blk((F // kdiv, H)), blk((kdiv, H)),
     ]
     operands = [
         jnp.asarray(n_past, jnp.int32).reshape(1, 1),
@@ -333,21 +376,7 @@ def _make_kernel_hbm(cfg, C, *, mode, kv_dtype, lps, with_head, chunk):
     F = cfg.intermediate_size
     eps = cfg.rms_norm_eps
     scale = D ** -0.5
-
-    def mm(x, wq_ref, ws_ref, j):
-        wq = wq_ref[0, j]
-        ws = ws_ref[0, j].astype(jnp.float32)
-        if mode == "w8a8":
-            amax = jnp.max(jnp.abs(x))
-            s_act = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
-            xq = jnp.clip(jnp.round(x / s_act), -127.0, 127.0).astype(jnp.int8)
-            acc = jax.lax.dot_general(
-                xq, wq, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            return acc.astype(jnp.float32) * (s_act * ws)
-        w = wq.astype(jnp.float32) * ws
-        return jax.lax.dot_general(
-            x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    mm = _make_mm(mode)
 
     def kernel(n_past_ref, x_in_ref, cos_ref, sin_ref,
                attn_n_ref, q_n_ref, k_n_ref, ffn_n_ref,
@@ -532,6 +561,8 @@ def fused_talker_step_hbm(
     chunk = min(chunk, C)
     assert C % chunk == 0, f"capacity {C} not a multiple of kv chunk {chunk}"
     with_head = codec_head is not None
+    mode = _weight_mode(blocks, mode)
+    kdiv = 2 if mode.startswith("w4") else 1
 
     angles = (jnp.asarray(n_past, jnp.float32)
               * cfg.rope_theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half))
@@ -554,10 +585,10 @@ def fused_talker_step_hbm(
         pl.BlockSpec(memory_space=pltpu.SMEM),    # n_past (1,1)
         vmem_full, vmem_full, vmem_full,          # x, cos, sin
         vmem_full, vmem_full, vmem_full, vmem_full,  # norms [L,1,dim]
-        blk((H, QKV)), blk((1, QKV)),
-        blk((Hq * D, H)), blk((1, H)),
-        blk((H, 2 * F)), blk((1, 2 * F)),
-        blk((F, H)), blk((1, H)),
+        blk((H // kdiv, QKV)), blk((kdiv, QKV)),
+        blk((Hq * D // kdiv, H)), blk((kdiv, H)),
+        blk((H // kdiv, 2 * F)), blk((kdiv, 2 * F)),
+        blk((F // kdiv, H)), blk((kdiv, H)),
     ]
     operands = [
         jnp.asarray(n_past, jnp.int32).reshape(1, 1),

@@ -211,6 +211,17 @@ class Qwen3TTS:
                 blocks=quantize_block_params(self.talker_params.blocks))
             self.cp_params = self.cp_params._replace(
                 blocks=quantize_block_params(self.cp_params.blocks))
+        elif cfg.runtime.quant == "q4":
+            # Q4_K-tier serving: talker blocks at 4-bit (the weight-DMA-bound
+            # stage; split-half nibble packing, w4a8 fused kernel), code
+            # predictor at int8 (its weights are VMEM-resident in the fused
+            # kernel — read once per frame — so 4-bit buys little there and
+            # int8 keeps its accuracy higher).
+            from .ops.quant import quantize_block_params, quantize_block_params_w4
+            self.talker_params = self.talker_params._replace(
+                blocks=quantize_block_params_w4(self.talker_params.blocks))
+            self.cp_params = self.cp_params._replace(
+                blocks=quantize_block_params(self.cp_params.blocks))
 
     def _load_vocoder(self):
         cfg = self.config

@@ -41,10 +41,11 @@ def _resolve_fused_talker(fused_talker, talker_params) -> bool:
     the capacity gate is applied at the use site where kv.shape is known)."""
     if fused_talker == "auto":
         from ..ops.pallas_talker_step import fused_talker_enabled
-        from ..ops.quantized_matmul import QuantLinear
+        from ..ops.quantized_matmul import QuantLinear, QuantLinear4
 
         return (fused_talker_enabled()
-                and isinstance(talker_params.blocks.wqkv, QuantLinear))
+                and isinstance(talker_params.blocks.wqkv,
+                               (QuantLinear, QuantLinear4)))
     return bool(fused_talker)
 
 

@@ -136,3 +136,80 @@ def test_w8a8_close(setup):
     err = np.abs(np.asarray(hidden_q) - ref).max() / (np.abs(ref).max() + 1e-9)
     assert err < 0.15, f"w8a8 relative error too large: {err}"
     assert np.isfinite(np.asarray(hidden_q)).all()
+
+
+@pytest.fixture(scope="module")
+def w4setup(setup):
+    from qwen3tts_tpu.ops.quant import dequantize4, quantize_block_params_w4
+
+    cfg, params, _, _, kv, x = setup
+    w4blocks = quantize_block_params_w4(params.blocks)
+    deq4_blocks = w4blocks._replace(
+        wqkv=dequantize4(w4blocks.wqkv, jnp.float32),
+        wo=dequantize4(w4blocks.wo, jnp.float32),
+        w_gateup=dequantize4(w4blocks.w_gateup, jnp.float32),
+        w_down=dequantize4(w4blocks.w_down, jnp.float32),
+    )
+    return cfg, params, w4blocks, deq4_blocks, kv, x
+
+
+@pytest.mark.parametrize("variant", ["v1", "v2"])
+def test_w4_dequant_matches_forward_step(w4setup, variant):
+    """Both kernels with split-half nibble-packed int4 weights (mode
+    auto-resolves to w4dequant) match the XLA step on the dequantized
+    weights exactly (same math, different packing)."""
+    cfg, params, w4blocks, deq4_blocks, kv, x = w4setup
+    n_past = jnp.int32(7)
+    hidden_ref, kv_ref = forward_step(
+        deq4_blocks, talker_model.core_config(cfg), x, n_past, kv)
+    fn = pts.fused_talker_step if variant == "v1" else pts.fused_talker_step_hbm
+    kwargs = {} if variant == "v1" else {"chunk": 8}
+    hidden_k, kv_k = fn(
+        w4blocks, cfg, x, n_past, kv, mode="dequant", interpret=True, **kwargs)
+    np.testing.assert_allclose(
+        np.asarray(hidden_k), np.asarray(hidden_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(kv_k), np.asarray(kv_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_w4a8_close_and_head_fusion(w4setup):
+    cfg, params, w4blocks, deq4_blocks, kv, x = w4setup
+    n_past = jnp.int32(3)
+    hidden_d, kv_d = pts.fused_talker_step(
+        w4blocks, cfg, x, n_past, kv, mode="dequant", interpret=True)
+    hidden_q, logits_q, kv_q = pts.fused_talker_step(
+        w4blocks, cfg, x, n_past, kv, layers_per_step=2,
+        output_norm=params.output_norm, codec_head=params.codec_head,
+        interpret=True)
+    from qwen3tts_tpu.ops.norms import rms_norm
+    normed_d = rms_norm(hidden_d, params.output_norm, cfg.rms_norm_eps)
+    ref = np.asarray(normed_d)
+    err = np.abs(np.asarray(hidden_q) - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 0.15, f"w4a8 relative error too large: {err}"
+    assert np.isfinite(np.asarray(logits_q)).all()
+
+
+def test_w4_decode_loop_routes_fused(w4setup):
+    """quant=q4 talker params route through the fused kernel in the decode
+    loop (interpret on CPU) and produce finite codes."""
+    from qwen3tts_tpu.config import tiny_pipeline_config
+    from qwen3tts_tpu.models import code_predictor as CP
+    from qwen3tts_tpu.ops.quant import quantize_block_params
+    from qwen3tts_tpu.runtime import decode_loop as DL
+
+    CFG = tiny_pipeline_config()
+    cfg, params, w4blocks, deq4_blocks, kv, x = w4setup
+    tp4 = params._replace(blocks=w4blocks)
+    cp = CP.init_code_predictor_params(
+        jax.random.PRNGKey(12), CFG.code_predictor, jnp.float32)
+    cpq = cp._replace(blocks=quantize_block_params(cp.blocks))
+    tokens = np.zeros((16,), np.int32)
+    tokens[:11] = np.arange(2, 13)
+    out = DL.generate_from_tokens(
+        tp4, cpq, jnp.asarray(tokens), jnp.int32(11),
+        jnp.zeros((cfg.hidden_size,), jnp.float32), jnp.int32(2050),
+        jax.random.PRNGKey(0), talker_cfg=cfg, cp_cfg=CFG.code_predictor,
+        max_frames=4, kv_capacity=24, temperature=0.0, top_k=0,
+        repetition_penalty=1.05, fused_talker=True, fused_cp=False)
+    assert int(out.n_frames) > 0
+    assert np.isfinite(np.asarray(out.hidden)).all()

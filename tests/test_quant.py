@@ -76,6 +76,43 @@ def test_quantized_pipeline_end_to_end():
     assert len(r.audio) == r.n_frames * 1920
 
 
+def test_w4_roundtrip_error_bound():
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.normal(size=(3, 64, 48)), jnp.float32)
+    qw = quant.quantize_w4(w)
+    assert qw.q.shape == (3, 32, 48) and qw.q.dtype == jnp.int8
+    assert qw.scale.shape == (3, 2, 48)
+    back = np.asarray(quant.dequantize4(qw))
+    wn = np.asarray(w)
+    # per-half-per-channel bound: |err| <= half_amax / 7 / 2 (nearest rounding)
+    for h, sl in enumerate((slice(0, 32), slice(32, 64))):
+        amax = np.abs(wn[:, sl]).max(axis=1, keepdims=True)
+        err = np.abs(back[:, sl] - wn[:, sl])
+        assert (err <= amax / 7.0 * 0.5 + 1e-6).all()
+
+
+def test_w4_matmul_matches_dequantized():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(4, 64)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(64, 48)), jnp.float32)
+    qw = quant.quantize_w4(w)
+    got = quant.matmul(x, qw)
+    want = x @ quant.dequantize4(qw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_w4_pipeline_end_to_end():
+    import dataclasses
+    cfg = dataclasses.replace(CFG, runtime=dataclasses.replace(CFG.runtime, quant="q4"))
+    from qwen3tts_tpu.pipeline import Qwen3TTS
+    tts = Qwen3TTS(cfg)
+    assert tts.load_models(synthetic=True, seed=3)
+    r = tts.synthesize("Hello.", SamplingConfig(temperature=0.0, top_k=0, max_audio_tokens=4))
+    assert r.success, r.error_msg
+    assert len(r.audio) == r.n_frames * 1920
+    assert np.isfinite(np.asarray(r.audio)).all()
+
+
 def test_pallas_int8_matmul_matches_xla():
     from qwen3tts_tpu.ops.pallas_int8_matmul import int8_matmul_pallas
     rng = np.random.default_rng(5)
