@@ -26,6 +26,7 @@ whole stack is causal, so right-padding frames never corrupts valid samples.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -43,20 +44,44 @@ NEG_INF = -1e30  # plain float: no device allocation at import time
 # conv helpers (activations are [T, C]; weights are [K, In, Out])
 # ---------------------------------------------------------------------------
 
+def _conv_mm_enabled() -> bool:
+    """Matmul-form convs (default on): XLA's native 1-D conv lowering runs at
+    ~1% of the MXU roofline for the decoder stack's narrow-channel (192/96),
+    long-T shapes — measured 153 ms of the 162 ms vocoder forward at 256
+    frames. QWEN3TTS_CONV_MM=0 restores lax.conv for A/B."""
+    return os.environ.get("QWEN3TTS_CONV_MM", "1") not in ("0", "false", "off")
+
+
 def conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None, *,
            dilation: int = 1, groups: int = 1, causal: bool = True) -> jnp.ndarray:
-    """1-D conv on [T, C] with causal left padding of dilation*(K-1)."""
+    """1-D conv on [T, C] with causal left padding of dilation*(K-1).
+
+    Dense (groups=1) convs are computed as ONE MXU matmul over K shifted
+    views: y[t] = sum_k xp[t + d*k] @ w[k] with xp the padded input, i.e.
+    concat_k(xp[d*k : d*k + T]) @ w.reshape(K*In, Out). Grouped (depthwise)
+    convs keep the lax.conv path."""
     K = w.shape[0]
     pad = dilation * (K - 1)
-    padding = [(pad, 0)] if causal else [(pad // 2, pad - pad // 2)]
-    y = lax.conv_general_dilated(
-        x[None], w,
-        window_strides=(1,),
-        padding=padding,
-        rhs_dilation=(dilation,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        feature_group_count=groups,
-    )[0]
+    if groups == 1 and _conv_mm_enabled():
+        T = x.shape[0]
+        lpad, rpad = (pad, 0) if causal else (pad // 2, pad - pad // 2)
+        xp = jnp.pad(x, ((lpad, rpad), (0, 0)))
+        x_cat = jnp.concatenate(
+            [xp[dilation * k: dilation * k + T] for k in range(K)], axis=-1)
+        y = jax.lax.dot_general(
+            x_cat, w.reshape(K * w.shape[1], w.shape[2]),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+    else:
+        padding = [(pad, 0)] if causal else [(pad // 2, pad - pad // 2)]
+        y = lax.conv_general_dilated(
+            x[None], w,
+            window_strides=(1,),
+            padding=padding,
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=groups,
+        )[0]
     if b is not None:
         y = y + b
     return y
@@ -71,22 +96,48 @@ def conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None, *,
     output length (T-1)*stride + K is trimmed by (K - stride):
       - trim="causal": all from the right (Python ground truth) -> T*stride
       - trim="symmetric": split across both sides (C++ reference variant)
-    """
+
+    When K divides into stride taps (K = J*stride — true for every vocoder
+    convT: K=2r at stride r, K=2 at stride 2), the op is ONE MXU matmul:
+    phase algebra gives y[q*s + p] = sum_j w[K-1-p-j*s] @ x[q-j], so
+    concat_j(shift(x, j)) @ W2 with W2[j*In + i, p*Out + o] = w[K-1-p-j*s, i, o]
+    computes all s phases at once and the [T, s*Out] -> [T*s, Out] reshape is
+    the interleave."""
     K = w.shape[0]
-    y = lax.conv_general_dilated(
-        x[None], w,
-        window_strides=(1,),
-        padding=[(K - 1, K - 1)],
-        lhs_dilation=(stride,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-    )[0]
-    cut = K - stride
-    if cut > 0:
+    s = stride
+    cut = K - s
+    if K % s == 0 and _conv_mm_enabled():
+        T, cin = x.shape
+        cout = w.shape[2]
+        J = K // s
+        # W2: flip K, group [J, s], move phase axis next to cout
+        w2 = (w[::-1].reshape(J, s, cin, cout)
+              .transpose(0, 2, 1, 3).reshape(J * cin, s * cout))
+        x_cat = jnp.concatenate(
+            [jnp.pad(x, ((j, 0), (0, 0)))[:T] for j in range(J)], axis=-1)
+        y = jax.lax.dot_general(
+            x_cat, w2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        y = y.reshape(T * s, cout)
+        # raw convT output is length T*s + cut; rows [T*s, T*s+cut) only
+        # receive taps k >= s of x[T-1] and are trimmed under both modes
         if trim == "causal":
-            y = y[: y.shape[0] - cut]
-        else:
-            left = cut
-            y = y[left: y.shape[0] - cut]
+            pass                       # keep [0, T*s)
+        elif cut > 0:
+            y = y[cut:]                # symmetric: also drop the left edge
+    else:
+        y = lax.conv_general_dilated(
+            x[None], w,
+            window_strides=(1,),
+            padding=[(K - 1, K - 1)],
+            lhs_dilation=(stride,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )[0]
+        if cut > 0:
+            if trim == "causal":
+                y = y[: y.shape[0] - cut]
+            else:
+                y = y[cut: y.shape[0] - cut]
     if b is not None:
         y = y + b
     return y
