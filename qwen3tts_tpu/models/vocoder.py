@@ -342,19 +342,49 @@ def _convnext_block(x: jnp.ndarray, p, i: int, trim: str) -> jnp.ndarray:
     return residual + x
 
 
+def _padc(a: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Zero-pad the last axis to width n (no-op when already there)."""
+    return a if a.shape[-1] == n else jnp.pad(
+        a, [(0, 0)] * (a.ndim - 1) + [(0, n - a.shape[-1])])
+
+
 def _residual_block(x: jnp.ndarray, res: ResBlockParams, i: int, dilation: int) -> jnp.ndarray:
+    """x may carry zero-padded channels beyond the weights' width (the fused
+    kernel path pads the decoder stack to 128-lane multiples; snake is
+    zero-preserving and padded weights are zero, so pad lanes stay zero)."""
+    from ..ops.pallas_vocoder import (
+        fused_res_block, fused_res_block_supported, fused_vocoder_enabled)
+
+    C = x.shape[-1]
+    w1 = _padc(jnp.pad(res.conv1_w[i], ((0, 0), (0, C - res.conv1_w.shape[-2]), (0, 0))), C) \
+        if C != res.conv1_w.shape[-1] else res.conv1_w[i]
+    w2 = _padc(jnp.pad(res.conv2_w[i], ((0, 0), (0, C - res.conv2_w.shape[-2]), (0, 0))), C) \
+        if C != res.conv2_w.shape[-1] else res.conv2_w[i]
+    b1, a1, be1 = (_padc(res.conv1_b[i], C), _padc(res.act1_alpha[i], C),
+                   _padc(res.act1_beta[i], C))
+    b2, a2, be2 = (_padc(res.conv2_b[i], C), _padc(res.act2_alpha[i], C),
+                   _padc(res.act2_beta[i], C))
+    if (fused_vocoder_enabled() and x.ndim == 2
+            and fused_res_block_supported(x.shape[0], C, dilation)):
+        return fused_res_block(x, w1, b1, a1, be1, w2, b2, a2, be2,
+                               dilation=dilation)
     r = x
-    x = snake(x, res.act1_alpha[i], res.act1_beta[i])
-    x = conv1d(x, res.conv1_w[i], res.conv1_b[i], dilation=dilation, causal=True)
-    x = snake(x, res.act2_alpha[i], res.act2_beta[i])
-    x = conv1d(x, res.conv2_w[i], res.conv2_b[i], causal=True)
+    x = snake(x, a1, be1)
+    x = conv1d(x, w1, b1, dilation=dilation, causal=True)
+    x = snake(x, a2, be2)
+    x = conv1d(x, w2, b2, causal=True)
     return r + x
 
 
 def _decoder_block(x: jnp.ndarray, blk: DecoderBlockParams, rate: int,
-                   dilations, trim: str) -> jnp.ndarray:
-    x = snake(x, blk.snake_alpha, blk.snake_beta)
-    x = conv_transpose1d(x, blk.convt_w, blk.convt_b, stride=rate, trim=trim)
+                   dilations, trim: str, pad_cout: int = 0) -> jnp.ndarray:
+    cin = x.shape[-1]
+    x = snake(x, _padc(blk.snake_alpha, cin), _padc(blk.snake_beta, cin))
+    w = blk.convt_w
+    cout = w.shape[-1] + pad_cout
+    if cin != w.shape[-2] or pad_cout:
+        w = _padc(jnp.pad(w, ((0, 0), (0, cin - w.shape[-2]), (0, 0))), cout)
+    x = conv_transpose1d(x, w, _padc(blk.convt_b, cout), stride=rate, trim=trim)
     for i, d in enumerate(dilations):
         x = _residual_block(x, blk.res, i, d)
     return x
@@ -388,13 +418,25 @@ def vocoder_forward(
     for i in range(cfg.n_convnext):
         x = _convnext_block(x, params.convnext, i, trim)
 
-    # Decoder stack.
+    # Decoder stack. Under the fused res-block kernel the narrow blocks
+    # (192/96ch) carry zero-padded channels up to 128-lane multiples — padded
+    # end-to-end (convT writes them, the final conv's padded-zero weight rows
+    # consume them) so no per-op pad/slice traffic is added.
+    from ..ops.pallas_vocoder import fused_vocoder_enabled
+
+    pad_lanes = fused_vocoder_enabled() and x.ndim == 2
     x = conv1d(x, params.dec0_w, params.dec0_b, causal=True)
     for blk, rate in zip(params.dec_blocks, cfg.upsample_rates):
-        x = _decoder_block(x, blk, rate, cfg.res_dilations, trim)
+        cout = blk.convt_w.shape[-1]
+        pad_cout = (-cout) % 128 if pad_lanes else 0
+        x = _decoder_block(x, blk, rate, cfg.res_dilations, trim,
+                           pad_cout=pad_cout)
 
-    x = snake(x, params.final_alpha, params.final_beta)
-    x = conv1d(x, params.out_w, params.out_b, causal=True)
+    C = x.shape[-1]
+    x = snake(x, _padc(params.final_alpha, C), _padc(params.final_beta, C))
+    out_w = jnp.pad(params.out_w, ((0, 0), (0, C - params.out_w.shape[-2]), (0, 0))) \
+        if C != params.out_w.shape[-2] else params.out_w
+    x = conv1d(x, out_w, params.out_b, causal=True)
     return jnp.tanh(x.astype(jnp.float32))[:, 0]
 
 
