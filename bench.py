@@ -102,19 +102,34 @@ def main() -> None:
         return vocoder_model.vocoder_decode(vp, vcfg, codes, jnp.int32(n))
 
     def run_fused(seed):
-        # production non-streaming path: prefill + full frame loop in ONE
-        # dispatch (generate_from_tokens) — the headline measurement
+        # generation-only program (used for the frames/s breakdown)
         return decode_loop.generate_from_tokens(
             tp, cp, jnp.asarray(tokens), jnp.int32(32), speaker, jnp.int32(2050),
             jax.random.PRNGKey(seed),
             talker_cfg=tcfg, cp_cfg=ccfg, max_frames=N_FRAMES, kv_capacity=KV,
             allow_eos=False, **sampling)
 
-    # --- compile (3 programs: fused full run, ttfa start, vocoder) ---
+    def run_e2e(seed):
+        # headline: text tokens -> waveform in ONE dispatch (runtime/e2e.py);
+        # each tunnel dispatch costs a fixed ~27 ms, so the split pipeline
+        # pays that twice
+        from qwen3tts_tpu.runtime.e2e import generate_and_vocode
+
+        return generate_and_vocode(
+            tp, cp, vp, jnp.asarray(tokens), jnp.int32(32), speaker,
+            jnp.int32(2050), jax.random.PRNGKey(seed),
+            talker_cfg=tcfg, cp_cfg=ccfg, vocoder_cfg=vcfg,
+            max_frames=N_FRAMES, kv_capacity=KV, allow_eos=False, **sampling)
+
+    # --- compile (4 programs: e2e, gen-only, ttfa start, vocoder) ---
+    t0 = time.perf_counter()
+    audio, g = run_e2e(1)
+    _ = np.asarray(audio[:8])
+    print(f"e2e compile+run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     t0 = time.perf_counter()
     g = run_fused(1)
     _ = np.asarray(g.codes[:1])
-    print(f"fused compile+run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    print(f"gen compile+run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     t0 = time.perf_counter()
     a = run_vocoder(g.codes, N_FRAMES)
     _ = np.asarray(a[:8])
@@ -124,16 +139,24 @@ def main() -> None:
     _ = np.asarray(s2.codes[:1])
     print(f"ttfa-start compile+run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    # --- timed: fused generation (prefill + 256 frames, one dispatch);
+    # --- timed: single-dispatch e2e (prefill + 256 frames + vocoder);
     # best-of-3 — wall times over the device tunnel have ~30% run-to-run
     # variance ---
+    t_e2e = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        audio, g = run_e2e(2 + rep)
+        _ = np.asarray(audio)
+        t_e2e = min(t_e2e, time.perf_counter() - t0)
+    n_frames = int(g.n_frames)
+
+    # --- timed: generation-only (best-of-3, for the breakdown) ---
     t_gen = float("inf")
     for rep in range(3):
         t0 = time.perf_counter()
         g = run_fused(2 + rep)
         _ = np.asarray(g.codes)
         t_gen = min(t_gen, time.perf_counter() - t0)
-    n_frames = int(g.n_frames)
     frames_per_s = n_frames / t_gen
 
     # --- timed: vocoder (best-of-3) ---
@@ -145,7 +168,7 @@ def main() -> None:
         t_voc = min(t_voc, time.perf_counter() - t0)
 
     audio_sec = n_frames * spf / vcfg.sample_rate
-    rtf = audio_sec / (t_gen + t_voc)
+    rtf = audio_sec / t_e2e
 
     # --- timed: p50 time-to-first-audio (streaming path: prefill + 16-frame
     # chunk + vocoder; all programs already compiled) ---
@@ -166,6 +189,7 @@ def main() -> None:
         "frames_per_s": round(frames_per_s, 1),
         "gen_ms_per_frame": round(1e3 * t_gen / n_frames, 2),
         "vocoder_xrt": round(audio_sec / t_voc, 1),
+        "e2e_ms": round(t_e2e * 1e3, 1),
         "ttfa_p50_ms": round(ttfa_p50 * 1e3, 1),
         "n_frames": n_frames,
         "quant": quant,

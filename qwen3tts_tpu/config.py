@@ -205,6 +205,11 @@ class RuntimeConfig:
     speaker_buckets: Tuple[int, ...] = tuple(24000 * s for s in (2, 5, 10, 20, 30, 60))
     # Extra KV headroom past prefill+frames (reference uses +8).
     kv_margin: int = 8
+    # Single-dispatch synthesis: generation + vocoder in ONE jitted program
+    # (runtime/e2e.py). Saves a device round trip per call but always vocodes
+    # the full frame bucket, so it suits tight max-token budgets / serving;
+    # the default split path vocodes a bucket sized to the ACTUAL frame count.
+    fused_dispatch: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

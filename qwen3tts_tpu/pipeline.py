@@ -370,18 +370,41 @@ class Qwen3TTS:
             def progress_cb(frame):  # noqa: ANN001
                 user_cb(int(frame), total)
 
-        gen = decode_loop.generate_from_tokens(
-            self.talker_params, self.cp_params,
-            jnp.asarray(padded), jnp.int32(n_tok),
-            jnp.asarray(speaker, jnp.float32), jnp.int32(params.language_id),
-            jax.random.PRNGKey(params.seed),
-            talker_cfg=tcfg, cp_cfg=ccfg,
-            max_frames=max_frames, kv_capacity=kv_capacity,
-            temperature=params.temperature, top_k=params.top_k, top_p=params.top_p,
-            repetition_penalty=params.repetition_penalty,
-            nothink=params.language_id < 0,
-            progress_cb=progress_cb,
-        )
+        fused_audio = None
+        use_fused_dispatch = (rt.fused_dispatch and progress_cb is None
+                              and not self.low_mem)
+        if use_fused_dispatch:
+            # one jitted program: frame loop + vocoder over the full bucket
+            # (runtime/e2e.py) — one device round trip end-to-end
+            from .runtime.e2e import generate_and_vocode
+
+            if self.vocoder_params is None:
+                self._load_vocoder()
+            fused_audio, gen = generate_and_vocode(
+                self.talker_params, self.cp_params, self.vocoder_params,
+                jnp.asarray(padded), jnp.int32(n_tok),
+                jnp.asarray(speaker, jnp.float32), jnp.int32(params.language_id),
+                jax.random.PRNGKey(params.seed),
+                talker_cfg=tcfg, cp_cfg=ccfg, vocoder_cfg=self.config.vocoder,
+                max_frames=max_frames, kv_capacity=kv_capacity,
+                temperature=params.temperature, top_k=params.top_k,
+                top_p=params.top_p,
+                repetition_penalty=params.repetition_penalty,
+                nothink=params.language_id < 0,
+            )
+        else:
+            gen = decode_loop.generate_from_tokens(
+                self.talker_params, self.cp_params,
+                jnp.asarray(padded), jnp.int32(n_tok),
+                jnp.asarray(speaker, jnp.float32), jnp.int32(params.language_id),
+                jax.random.PRNGKey(params.seed),
+                talker_cfg=tcfg, cp_cfg=ccfg,
+                max_frames=max_frames, kv_capacity=kv_capacity,
+                temperature=params.temperature, top_k=params.top_k, top_p=params.top_p,
+                repetition_penalty=params.repetition_penalty,
+                nothink=params.language_id < 0,
+                progress_cb=progress_cb,
+            )
         n_frames = int(gen.n_frames)
         n_frames = min(n_frames, params.max_audio_tokens)
         codes = np.asarray(gen.codes[:n_frames])
@@ -397,10 +420,14 @@ class Qwen3TTS:
             self.talker_params = self.cp_params = None
 
         # 3. vocoder decode
-        if self.vocoder_params is None:
-            self._load_vocoder()
         t0 = now_ms()
-        audio = self.decode_codes(codes)
+        if fused_audio is not None:
+            spf = self.config.vocoder.samples_per_frame
+            audio = np.asarray(fused_audio[:n_frames * spf], np.float32)
+        else:
+            if self.vocoder_params is None:
+                self._load_vocoder()
+            audio = self.decode_codes(codes)
         result.timings.t_decode_ms = now_ms() - t0
 
         if self.low_mem:

@@ -264,3 +264,35 @@ def test_tokenizer_utf8_roundtrip():
     for text in ("héllo wörld", "日本語テキスト", "emoji 🙂 test"):
         ids = tok.encode(text)
         assert tok.decode(ids) == text
+
+
+def test_fused_dispatch_matches_split():
+    """RuntimeConfig.fused_dispatch=True (one jitted program for generation +
+    vocoder, runtime/e2e.py) produces the same audio as the split path for a
+    greedy run with the same seed."""
+    import dataclasses
+
+    import numpy as np
+
+    from qwen3tts_tpu.config import SamplingConfig, tiny_pipeline_config
+    from qwen3tts_tpu.pipeline import Qwen3TTS
+
+    cfg = tiny_pipeline_config()
+    sp = SamplingConfig(temperature=0.0, top_k=0, max_audio_tokens=6, seed=5)
+
+    tts = Qwen3TTS(cfg)
+    assert tts.load_models(synthetic=True, seed=11)
+    split = tts.synthesize("Hello there.", sp)
+    assert split.success, split.error_msg
+
+    cfg2 = dataclasses.replace(
+        cfg, runtime=dataclasses.replace(cfg.runtime, fused_dispatch=True))
+    tts2 = Qwen3TTS(cfg2)
+    assert tts2.load_models(synthetic=True, seed=11)
+    fused = tts2.synthesize("Hello there.", sp)
+    assert fused.success, fused.error_msg
+
+    assert fused.n_frames == split.n_frames
+    np.testing.assert_array_equal(fused.codes, split.codes)
+    assert len(fused.audio) == len(split.audio)
+    np.testing.assert_allclose(fused.audio, split.audio, rtol=2e-4, atol=2e-4)
