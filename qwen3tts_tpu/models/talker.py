@@ -179,9 +179,9 @@ def talker_prefill(params: TalkerParams, cfg: TalkerConfig, prefill_embd: jnp.nd
     return normed_last, logits, kv
 
 
-def talker_step(params: TalkerParams, cfg: TalkerConfig, step_embd: jnp.ndarray, n_past: jnp.ndarray, kv: jnp.ndarray):
+def talker_step(params: TalkerParams, cfg: TalkerConfig, step_embd: jnp.ndarray, n_past: jnp.ndarray, kv: jnp.ndarray, strategy: str = "auto"):
     """One AR frame step; returns (hidden_norm [H], logits [Vc], kv)."""
-    hidden, kv = forward_step(params.blocks, core_config(cfg), step_embd, n_past, kv)
+    hidden, kv = forward_step(params.blocks, core_config(cfg), step_embd, n_past, kv, strategy)
     normed = rms_norm(hidden, params.output_norm, cfg.rms_norm_eps)
     logits = (normed @ params.codec_head).astype(jnp.float32)
     return normed, logits, kv

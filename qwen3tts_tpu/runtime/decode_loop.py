@@ -35,6 +35,10 @@ from ..models import code_predictor as cp_model
 from ..models import talker as talker_model
 from ..ops.sampling import apply_repetition_penalty, apply_suppression, sample_token
 
+# one batched code-predictor kernel call holds at most this many lanes in
+# VMEM; bigger batches chunk the call (see _generate_batched_fused)
+_CP_KERNEL_MAX_LANES = 16
+
 
 def _resolve_fused_talker(fused_talker, talker_params) -> bool:
     """Static choice of the fused talker-step kernel ("auto" => TPU + int8;
@@ -102,6 +106,7 @@ def generate(
     allow_eos: bool = True,
     fused_cp="auto",
     fused_talker="auto",
+    kv_strategy: str = "auto",
 ) -> GenerateResult:
     """Run prefill + the full frame loop. Static args define the compiled
     shape bucket; tensor args vary freely within it.
@@ -138,7 +143,8 @@ def generate(
         talker_params, cp_params, talker_cfg, cp_cfg, prefill,
         temperature=temperature, top_k=top_k, top_p=top_p,
         repetition_penalty=repetition_penalty, progress_cb=progress_cb,
-        allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker)
+        allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker,
+        kv_strategy=kv_strategy)
 
     def cond(s: _LoopState):
         return jnp.logical_and(~s.done, s.frame < max_frames)
@@ -150,7 +156,7 @@ def generate(
 def _make_body(
     talker_params, cp_params, talker_cfg, cp_cfg, prefill, *,
     temperature, top_k, top_p, repetition_penalty, progress_cb, allow_eos,
-    fused_cp="auto", fused_talker="auto",
+    fused_cp="auto", fused_talker="auto", kv_strategy: str = "auto",
 ):
     """The per-frame loop body, shared by full and chunked (streaming)
     generation."""
@@ -229,7 +235,8 @@ def _make_body(
             hidden = hidden_f32.astype(dtype)
         else:
             hidden, logits, kv = talker_model.talker_step(
-                talker_params, talker_cfg, step_embd, s.n_past, s.kv)
+                talker_params, talker_cfg, step_embd, s.n_past, s.kv,
+                strategy=kv_strategy)
 
         if progress_cb is not None:
             _io_callback(progress_cb, None, s.frame + emit.astype(jnp.int32),
@@ -334,7 +341,8 @@ def generate_from_tokens_batched(
     reads the cp weights once per FRAME-SET instead of 15x and advances all
     lanes through each AR step together (ops/pallas_code_predictor_batched)."""
     B = tokens.shape[0]
-    if _resolve_fused_cp(fused_cp, cp_params, top_p) and B <= 16:
+    if (_resolve_fused_cp(fused_cp, cp_params, top_p)
+            and B <= 4 * _CP_KERNEL_MAX_LANES):
         return _generate_batched_fused(
             talker_params, cp_params, tokens, n_tokens, speaker_embd,
             language_id, keys, talker_cfg=talker_cfg, cp_cfg=cp_cfg,
@@ -351,7 +359,7 @@ def generate_from_tokens_batched(
             max_frames=max_frames, kv_capacity=kv_capacity,
             temperature=temperature, top_k=top_k, top_p=top_p,
             repetition_penalty=repetition_penalty, fused_cp=False,
-            fused_talker=False, allow_eos=allow_eos)
+            fused_talker=False, allow_eos=allow_eos, kv_strategy="carried")
 
     return jax.vmap(one)(tokens, n_tokens, speaker_embd, language_id, keys)
 
@@ -429,9 +437,20 @@ def _generate_batched_fused(
         cb0_embd = talker_params.codec_embd[cb0]            # [B, H]
         seed = lax.bitcast_convert_type(
             jax.random.bits(k_cp, (), "uint32"), jnp.int32)
-        rest, rest_sum = fused_predict_codes_batched(
-            cp_params, cp_cfg, s.last_hidden.astype(dtype), cb0_embd, seed,
-            temperature=temperature, top_k=top_k)
+        # the kernel's VMEM budget caps one call at 16 lanes; larger batches
+        # run it in 16-lane chunks (weights re-read once per chunk, still
+        # 15x less than the per-step XLA path)
+        rests, rsums = [], []
+        for c0 in range(0, B, _CP_KERNEL_MAX_LANES):
+            c1 = min(B, c0 + _CP_KERNEL_MAX_LANES)
+            r, rs = fused_predict_codes_batched(
+                cp_params, cp_cfg, s.last_hidden[c0:c1].astype(dtype),
+                cb0_embd[c0:c1], seed + jnp.int32(c0),
+                temperature=temperature, top_k=top_k)
+            rests.append(r)
+            rsums.append(rs)
+        rest = rests[0] if len(rests) == 1 else jnp.concatenate(rests)
+        rest_sum = rsums[0] if len(rsums) == 1 else jnp.concatenate(rsums)
         frame_codes = jnp.concatenate([cb0[:, None], rest], axis=1)
 
         old_codes = s.codes[rows, s.frame]
@@ -446,9 +465,13 @@ def _generate_batched_fused(
         step_embd = (cb0_embd.astype(jnp.float32) + rest_sum
                      + trailing_row.astype(jnp.float32)).astype(dtype)
 
+        # "carried" KV strategy: under vmap the sliced scheme's per-layer
+        # cache copies multiply by B (measured 893 -> 2555 aggregate f/s at
+        # B=16, C=512 from this alone)
         hidden, logits, kv = jax.vmap(
             lambda e, kvi: talker_model.talker_step(
-                talker_params, talker_cfg, e, s.n_past, kvi)
+                talker_params, talker_cfg, e, s.n_past, kvi,
+                strategy="carried")
         )(step_embd, s.kv)
 
         return _BatchedState(
