@@ -171,13 +171,27 @@ def main() -> None:
     rtf = audio_sec / t_e2e
 
     # --- timed: p50 time-to-first-audio (streaming path: prefill + 16-frame
-    # chunk + vocoder; all programs already compiled) ---
+    # chunk + vocoder, ONE dispatch via runtime/e2e.start_and_vocode) ---
+    from qwen3tts_tpu.runtime.e2e import start_and_vocode
+
+    def run_ttfa(seed):
+        return start_and_vocode(
+            tp, cp, vp, jnp.asarray(tokens), jnp.int32(32), speaker,
+            jnp.int32(2050), jax.random.PRNGKey(seed),
+            talker_cfg=tcfg, cp_cfg=ccfg, vocoder_cfg=vcfg,
+            chunk_frames=TTFA_FRAMES, max_frames=N_FRAMES, kv_capacity=KV,
+            allow_eos=False, **sampling)
+
+    t0 = time.perf_counter()
+    a, _s, _p = run_ttfa(11)
+    _ = np.asarray(a[:8])
+    print(f"ttfa-fused compile+run: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
     ttfas = []
     for seed in range(5):
         t0 = time.perf_counter()
-        s, _p = run_start(13 + seed, TTFA_FRAMES)
-        a = run_vocoder(s.codes, TTFA_FRAMES)
-        _ = np.asarray(a[: TTFA_FRAMES * spf: spf])
+        a, _s, _p = run_ttfa(13 + seed)
+        _ = np.asarray(a)
         ttfas.append(time.perf_counter() - t0)
     ttfa_p50 = float(np.median(ttfas))
 

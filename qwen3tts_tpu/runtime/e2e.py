@@ -69,3 +69,53 @@ def generate_and_vocode(
     audio = vocoder_model.vocoder_forward(
         vocoder_params, vocoder_cfg, gen.codes, gen.n_frames)
     return audio, gen
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "talker_cfg", "cp_cfg", "vocoder_cfg", "chunk_frames", "max_frames",
+        "kv_capacity", "temperature", "top_k", "top_p", "repetition_penalty",
+        "nothink", "allow_eos", "fused_cp", "fused_talker",
+    ),
+)
+def start_and_vocode(
+    talker_params,
+    cp_params,
+    vocoder_params,
+    tokens: jnp.ndarray,
+    n_tokens: jnp.ndarray,
+    speaker_embd: jnp.ndarray,
+    language_id: jnp.ndarray,
+    key: jax.Array,
+    *,
+    talker_cfg,
+    cp_cfg,
+    vocoder_cfg,
+    chunk_frames: int,
+    max_frames: int,
+    kv_capacity: int,
+    temperature: float,
+    top_k: int,
+    top_p: float = 1.0,
+    repetition_penalty: float = 1.05,
+    nothink: bool = False,
+    allow_eos: bool = True,
+    fused_cp="auto",
+    fused_talker="auto",
+):
+    """Time-to-first-audio path, one dispatch: prefill + the first
+    chunk_frames of generation + vocoder over that chunk. Returns
+    (audio [chunk_frames * samples_per_frame] f32, state, prefill); continue
+    with decode_loop.generate_chunk + the streaming vocoder."""
+    state, prefill = decode_loop.generate_start(
+        talker_params, cp_params, tokens, n_tokens, speaker_embd, language_id,
+        key, talker_cfg=talker_cfg, cp_cfg=cp_cfg, chunk_frames=chunk_frames,
+        max_frames=max_frames, kv_capacity=kv_capacity,
+        temperature=temperature, top_k=top_k, top_p=top_p,
+        repetition_penalty=repetition_penalty, nothink=nothink,
+        allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker)
+    audio = vocoder_model.vocoder_forward(
+        vocoder_params, vocoder_cfg, state.codes[:chunk_frames],
+        jnp.minimum(state.frame, chunk_frames))
+    return audio, state, prefill

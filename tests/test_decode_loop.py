@@ -93,3 +93,41 @@ def test_text_bucket_padding_is_invisible(params):
             jnp.zeros((TCFG.hidden_size,), jnp.float32), jnp.int32(2050),
             jax.random.PRNGKey(0), **kw))
     np.testing.assert_array_equal(np.asarray(outs[0].codes), np.asarray(outs[1].codes))
+
+
+def test_start_and_vocode_single_dispatch():
+    """runtime/e2e.start_and_vocode (prefill + first chunk + vocoder in one
+    program) matches generate_start + a separate vocoder call."""
+    import numpy as np
+
+    from qwen3tts_tpu.config import tiny_pipeline_config
+    from qwen3tts_tpu.models import code_predictor as CP
+    from qwen3tts_tpu.models import talker as T
+    from qwen3tts_tpu.models import vocoder as V
+    from qwen3tts_tpu.runtime import decode_loop as DL
+    from qwen3tts_tpu.runtime.e2e import start_and_vocode
+
+    CFG = tiny_pipeline_config()
+    tp = T.init_talker_params(jax.random.PRNGKey(1), CFG.talker, jnp.float32)
+    cp = CP.init_code_predictor_params(
+        jax.random.PRNGKey(2), CFG.code_predictor, jnp.float32)
+    vp = V.init_vocoder_params(jax.random.PRNGKey(3), CFG.vocoder, jnp.float32)
+    tokens = np.zeros((16,), np.int32)
+    tokens[:11] = np.arange(2, 13)
+    args = (jnp.asarray(tokens), jnp.int32(11),
+            jnp.zeros((CFG.talker.hidden_size,), jnp.float32),
+            jnp.int32(2050), jax.random.PRNGKey(0))
+    kw = dict(talker_cfg=CFG.talker, cp_cfg=CFG.code_predictor,
+              chunk_frames=4, max_frames=8, kv_capacity=32,
+              temperature=0.0, top_k=0, repetition_penalty=1.05,
+              allow_eos=False)
+
+    audio, state, prefill = start_and_vocode(
+        tp, cp, vp, *args, vocoder_cfg=CFG.vocoder, **kw)
+    state_ref, _ = DL.generate_start(tp, cp, *args, **kw)
+    np.testing.assert_array_equal(np.asarray(state.codes),
+                                  np.asarray(state_ref.codes))
+    want = V.vocoder_forward(vp, CFG.vocoder, state_ref.codes[:4], jnp.int32(4))
+    np.testing.assert_allclose(np.asarray(audio), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    assert np.isfinite(np.asarray(audio)).all()
