@@ -66,7 +66,8 @@ def decode_attention_layered(
     block = 256 if C % 256 == 0 else 128
     MIN_PALLAS_CAPACITY = 1024
     if (use_pallas_decode() and C % block == 0 and C >= MIN_PALLAS_CAPACITY
-            and D % 128 == 0 and q.shape[0] % Hkv == 0):
+            and D % 128 == 0 and q.shape[0] % Hkv == 0
+            and not _is_f8(kv.dtype)):
         return decode_attention_pallas_layered(q, kv, layer, n_valid, block=block)
     return decode_attention(q, kv[layer, 0], kv[layer, 1], n_valid)
 
@@ -91,9 +92,14 @@ def decode_attention_auto(
     Hkv, C, D = k_cache.shape
     block = 256 if C % 256 == 0 else 128
     if (use_pallas_decode() and C % block == 0 and C >= MIN_PALLAS_CAPACITY
-            and D % 128 == 0 and q.shape[0] % Hkv == 0):
+            and D % 128 == 0 and q.shape[0] % Hkv == 0
+            and not _is_f8(k_cache.dtype)):
         return decode_attention_pallas(q, k_cache, v_cache, n_valid, block=block)
     return decode_attention(q, k_cache, v_cache, n_valid)
+
+
+def _is_f8(dtype) -> bool:
+    return dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2)
 
 
 def decode_attention(
@@ -102,11 +108,18 @@ def decode_attention(
     v_cache: jnp.ndarray,  # [Hkv, C, D]
     n_valid: jnp.ndarray,  # scalar int: number of valid cache entries
 ) -> jnp.ndarray:
-    """Single-token attention over a preallocated KV cache. Returns [Hq, D]."""
+    """Single-token attention over a preallocated KV cache. Returns [Hq, D].
+
+    An fp8 (e4m3) cache is upcast explicitly — XLA fuses the convert into
+    the matmul operand read, so HBM traffic stays 8-bit (the serving win:
+    decode attention is cache-read-bound)."""
     Hq, D = q.shape
     Hkv, C, _ = k_cache.shape
     group = Hq // Hkv
     scale = 1.0 / (D ** 0.5)
+    if _is_f8(k_cache.dtype):
+        k_cache = k_cache.astype(jnp.bfloat16)
+        v_cache = v_cache.astype(jnp.bfloat16)
 
     qg = q.reshape(Hkv, group, D)
     scores = jnp.einsum("hgd,hcd->hgc", qg, k_cache, preferred_element_type=jnp.float32)

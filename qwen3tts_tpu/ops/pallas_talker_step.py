@@ -77,7 +77,9 @@ def _make_mm(mode):
     weight traffic for two half-K dots and a few VPU ops."""
 
     def quant_act(x):
-        amax = jnp.max(jnp.abs(x))
+        # per-row scales: one token per row (M=1 single-stream; M=B lanes in
+        # the batched kernel — each lane keeps its own dynamic range)
+        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
         s_act = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
         xq = jnp.clip(jnp.round(x / s_act), -127.0, 127.0).astype(jnp.int8)
         return xq, s_act
@@ -647,3 +649,290 @@ def fused_talker_step_hbm(
     if with_head:
         return outs[1][0], outs[2][0], kv_new
     return outs[1][0], kv_new
+
+
+# ---------------------------------------------------------------------------
+# v3: BATCHED talker step (the serving path's kernel)
+# ---------------------------------------------------------------------------
+#
+# Under vmap the XLA step at B=64 costs ~18.6 ms/frame-set: profiling shows
+# ~10.7 ms of full-capacity cache reads (the einsum reads all C slots for
+# every lane) and ~4.9 ms of w8a16 matmuls (4x the int8 roofline). This
+# kernel streams each layer's int8 weights once for ALL lanes (M=B MXU dots
+# at full int8 rate), DMAs only the VALID KV prefix per lane in chunked
+# slabs, and runs GQA flash attention on the VPU with lanes stacked on
+# sublanes — at B rows, per-head tensors are contiguous lane slices, so the
+# M=1 kernels' scratch relayout games disappear entirely.
+#
+# Same caller contract as v2: the current step's K/V rows come back as an
+# output ([L, B, 2, Hkv, D]) and are scattered at n_past with one
+# dynamic_update_slice; lanes are LOCKSTEP (shared scalar n_past), which is
+# exactly the hand-batched serving loop's invariant.
+
+_BATCHED_KV_CHUNK = 32
+
+
+def _make_kernel_batched(cfg, B, C, *, mode, kv_dtype, with_head, chunk):
+    H = cfg.hidden_size
+    L = cfg.n_layers
+    Hq, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    G = Hq // Hkv
+    F = cfg.intermediate_size
+    eps = cfg.rms_norm_eps
+    scale = D ** -0.5
+    mm = _make_mm(mode)
+
+    def kernel(n_past_ref, x_in_ref, cos_ref, sin_ref,
+               attn_n_ref, q_n_ref, k_n_ref, ffn_n_ref,
+               wqkv_q, wqkv_s, wo_q, wo_s, wgu_q, wgu_s, wd_q, wd_s,
+               *rest):
+        if with_head:
+            (out_n_ref, head_ref, kv_hbm,
+             kvrow_ref, hid_ref, logits_ref,
+             x_ref, o_ref, kv_buf, sem) = rest
+        else:
+            (kv_hbm, kvrow_ref, hid_ref,
+             x_ref, o_ref, kv_buf, sem) = rest
+
+        l = pl.program_id(0)
+        n_past = n_past_ref[0, 0]
+        trip = lax.div(n_past + (chunk - 1), jnp.int32(chunk))
+
+        @pl.when(l == 0)
+        def _():
+            x_ref[...] = x_in_ref[...].astype(jnp.float32)
+
+        x = x_ref[...]                                   # [B, H] f32
+        cos = cos_ref[...].astype(jnp.float32)           # [1, D/2]
+        sin = sin_ref[...].astype(jnp.float32)
+
+        def rope(t):                                     # [B, D]
+            half = D // 2
+            t1, t2 = t[:, :half], t[:, half:]
+            return jnp.concatenate(
+                [t1 * cos - t2 * sin, t1 * sin + t2 * cos], axis=-1)
+
+        h = _rms(x, attn_n_ref[l], eps)
+        qkv = mm(h, wqkv_q, wqkv_s, 0)                   # [B, QKV] f32
+
+        # per-head views are [B, D] LANE slices — no relayout at M=B
+        def head(i):
+            return qkv[:, i * D:(i + 1) * D]
+
+        qs, ks, vs = [], [], []
+        for i in range(Hq):
+            qs.append(rope(_rms(head(i), q_n_ref[l], eps)))
+        for i in range(Hkv):
+            ks.append(rope(_rms(head(Hq + i), k_n_ref[l], eps)))
+            vs.append(head(Hq + Hkv + i))
+
+        for i in range(Hkv):
+            kvrow_ref[0, :, 0, i] = ks[i].astype(kv_dtype)
+            kvrow_ref[0, :, 1, i] = vs[i].astype(kv_dtype)
+
+        def dma(c, slot):
+            off = pl.multiple_of(c * chunk, chunk)
+            return pltpu.make_async_copy(
+                kv_hbm.at[:, l, :, :, pl.ds(off, chunk), :],
+                kv_buf.at[slot], sem.at[slot])
+
+        @pl.when(trip > 0)
+        def _():
+            dma(jnp.int32(0), jnp.int32(0)).start()
+
+        # flash state stacked [Hq, B, *]; per-pair updates rebuild the stack
+        # by concatenation on the untiled leading axis
+        def chunk_body(c, carry):
+            m, lsum, acc = carry
+            slot = lax.rem(c, 2)
+
+            @pl.when(c + 1 < trip)
+            def _():
+                dma(c + 1, 1 - slot).start()
+
+            dma(c, slot).wait()
+            col = c * chunk + lax.broadcasted_iota(jnp.int32, (B, chunk), 1)
+            valid = col < n_past                          # [B, chunk]
+            ms, ls, accs = [], [], []
+            for hh in range(Hkv):
+                kc = kv_buf[slot, :, 0, hh].astype(jnp.float32)   # [B, ch, D]
+                vc = kv_buf[slot, :, 1, hh].astype(jnp.float32)
+                for g in range(G):
+                    i = hh * G + g
+                    q_i = qs[i].astype(kv_dtype).astype(jnp.float32)
+                    # VPU "dot": broadcast q over the chunk dim, reduce D
+                    s = jnp.sum(q_i[:, None, :] * kc, axis=-1) * scale
+                    s = jnp.where(valid, s, NEG_INF)      # [B, chunk]
+                    m_new = jnp.maximum(
+                        m[i], jnp.max(s, axis=-1, keepdims=True))
+                    p = jnp.exp(s - m_new)                # [B, chunk]
+                    alpha = jnp.exp(m[i] - m_new)
+                    ls.append((alpha * lsum[i]
+                               + jnp.sum(p, axis=-1, keepdims=True))[None])
+                    accs.append((acc[i] * alpha + jnp.sum(
+                        p[:, :, None] * vc, axis=1))[None])
+                    ms.append(m_new[None])
+            return (jnp.concatenate(ms, axis=0),
+                    jnp.concatenate(ls, axis=0),
+                    jnp.concatenate(accs, axis=0))
+
+        m0 = jnp.full((Hq, B, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((Hq, B, 1), jnp.float32)
+        a0 = jnp.zeros((Hq, B, D), jnp.float32)
+        m, lsum, acc = lax.fori_loop(0, trip, chunk_body, (m0, l0, a0))
+
+        # fold in the current step's K/V as one extra attention column
+        for hh in range(Hkv):
+            kc = ks[hh].astype(kv_dtype).astype(jnp.float32)      # [B, D]
+            vc = vs[hh].astype(kv_dtype).astype(jnp.float32)
+            for g in range(G):
+                i = hh * G + g
+                q_i = qs[i].astype(kv_dtype).astype(jnp.float32)
+                s_cur = jnp.sum(q_i * kc, axis=-1, keepdims=True) * scale
+                m_fin = jnp.maximum(m[i], s_cur)
+                p_cur = jnp.exp(s_cur - m_fin)
+                alpha = jnp.exp(m[i] - m_fin)
+                l_fin = alpha * lsum[i] + p_cur
+                o = (acc[i] * alpha + p_cur * vc) / jnp.maximum(l_fin, 1e-30)
+                o_ref[:, i * D:(i + 1) * D] = o           # [B, D] lane slice
+
+        x = x + mm(o_ref[...], wo_q, wo_s, 0)
+        hff = _rms(x, ffn_n_ref[l], eps)
+        gu = mm(hff, wgu_q, wgu_s, 0)
+        gate = gu[:, :F]
+        gate = gate / (1.0 + jnp.exp(-gate))
+        x = x + mm(gate * gu[:, F:], wd_q, wd_s, 0)
+
+        x_ref[...] = x
+
+        if with_head:
+            @pl.when(l == pl.num_programs(0) - 1)
+            def _():
+                normed = _rms(x_ref[...], out_n_ref[...], eps)
+                hid_ref[...] = normed
+                logits_ref[...] = jax.lax.dot_general(
+                    normed.astype(head_ref.dtype), head_ref[...],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        else:
+            hid_ref[...] = x
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "mode", "chunk", "interpret"))
+def fused_talker_step_batched(
+    blocks,                    # BlockParams with QuantLinear projections
+    cfg,                       # TalkerConfig
+    step_embd: jnp.ndarray,    # [B, H]
+    n_past: jnp.ndarray,       # scalar int32 (lockstep across lanes)
+    kv: jnp.ndarray,           # [B, L, 2, Hkv, C, D]
+    *,
+    output_norm: jnp.ndarray | None = None,
+    codec_head: jnp.ndarray | None = None,
+    mode: str = "w8a8",
+    chunk: int = _BATCHED_KV_CHUNK,
+    interpret: bool = False,
+):
+    """One talker decode step for B lockstep lanes, KV in HBM.
+
+    Returns (hidden [B, H] f32, kv) or (normed_hidden, logits [B, Vc], kv)
+    with each lane's cache row at n_past updated."""
+    if jax.default_backend() == "cpu":
+        interpret = True
+    H, L = cfg.hidden_size, cfg.n_layers
+    Hq, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    F = cfg.intermediate_size
+    B, C = kv.shape[0], kv.shape[4]
+    half = D // 2
+    QKV = (Hq + 2 * Hkv) * D
+    chunk = min(chunk, C)
+    assert C % chunk == 0, f"capacity {C} not a multiple of kv chunk {chunk}"
+    with_head = codec_head is not None
+    mode = _weight_mode(blocks, mode)
+    kdiv = 2 if mode.startswith("w4") else 1
+
+    angles = (jnp.asarray(n_past, jnp.float32)
+              * cfg.rope_theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half))
+    cos, sin = jnp.cos(angles)[None, :], jnp.sin(angles)[None, :]
+
+    kernel = _make_kernel_batched(cfg, B, C, mode=mode, kv_dtype=kv.dtype,
+                                  with_head=with_head, chunk=chunk)
+    vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def blk(shape):
+        nd = len(shape) + 1
+        return pl.BlockSpec(
+            (1, 1) + shape, lambda g: (g,) + (0,) * nd,
+            memory_space=pltpu.VMEM)
+
+    def grp(a):
+        return a.reshape((L, 1) + a.shape[1:])
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),    # n_past (1,1)
+        vmem_full, vmem_full, vmem_full,          # x, cos, sin
+        vmem_full, vmem_full, vmem_full, vmem_full,  # norms [L,1,dim]
+        blk((H // kdiv, QKV)), blk((kdiv, QKV)),
+        blk((Hq * D // kdiv, H)), blk((kdiv, H)),
+        blk((H // kdiv, 2 * F)), blk((kdiv, 2 * F)),
+        blk((F // kdiv, H)), blk((kdiv, H)),
+    ]
+    operands = [
+        jnp.asarray(n_past, jnp.int32).reshape(1, 1),
+        step_embd, cos, sin,
+        blocks.attn_norm[:, None, :], blocks.q_norm[:, None, :],
+        blocks.k_norm[:, None, :], blocks.ffn_norm[:, None, :],
+        grp(blocks.wqkv.q), grp(blocks.wqkv.scale),
+        grp(blocks.wo.q), grp(blocks.wo.scale),
+        grp(blocks.w_gateup.q), grp(blocks.w_gateup.scale),
+        grp(blocks.w_down.q), grp(blocks.w_down.scale),
+    ]
+    if with_head:
+        Vc = codec_head.shape[-1]
+        in_specs += [vmem_full, vmem_full]
+        operands += [output_norm.reshape(1, H), codec_head]
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # kv stays in HBM
+    operands.append(kv)
+
+    out_specs = [
+        pl.BlockSpec((1, B, 2, Hkv, D), lambda g: (g, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),            # new K/V rows
+        pl.BlockSpec((B, H), lambda g: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((L, B, 2, Hkv, D), kv.dtype),
+        jax.ShapeDtypeStruct((B, H), jnp.float32),
+    ]
+    if with_head:
+        out_specs.append(
+            pl.BlockSpec((B, Vc), lambda g: (0, 0), memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, Vc), jnp.float32))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(L,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),                 # x carry
+            pltpu.VMEM((B, Hq * D), jnp.float32),            # attn out
+            pltpu.VMEM((2, B, 2, Hkv, chunk, D), kv.dtype),  # KV slab x2
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(*operands)
+
+    # scatter each lane's new K/V rows at n_past: one in-place update
+    rows = outs[0].transpose(1, 0, 2, 3, 4).reshape(B, L, 2, Hkv, 1, D)
+    kv_new = lax.dynamic_update_slice(
+        kv, rows, (0, 0, 0, 0, jnp.asarray(n_past, jnp.int32), 0))
+    if with_head:
+        return outs[1], outs[2], kv_new
+    return outs[1], kv_new

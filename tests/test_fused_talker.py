@@ -213,3 +213,64 @@ def test_w4_decode_loop_routes_fused(w4setup):
         repetition_penalty=1.05, fused_talker=True, fused_cp=False)
     assert int(out.n_frames) > 0
     assert np.isfinite(np.asarray(out.hidden)).all()
+
+
+@pytest.mark.parametrize("n_past", [0, 7, 31])
+def test_batched_kernel_matches_vmapped_forward_step(setup, n_past):
+    """v3 (batched, lockstep n_past, HBM KV) matches vmap(forward_step) on
+    the dequantized weights, including empty-prefix and full-capacity."""
+    cfg, params, qblocks, deq_blocks, kv, x = setup
+    B = 4
+    keys = jax.random.split(jax.random.PRNGKey(21), B)
+    xb = jax.vmap(lambda k: jax.random.normal(
+        k, (cfg.hidden_size,), jnp.float32))(keys)
+    kvb = jnp.stack([jnp.zeros_like(kv) if n_past == 0 else kv * (i + 1) * 0.2
+                     for i in range(B)])
+    hidden_ref, kv_ref = jax.vmap(
+        lambda e, kvi: forward_step(
+            deq_blocks, talker_model.core_config(cfg), e, jnp.int32(n_past), kvi)
+    )(xb, kvb)
+    hidden_k, kv_k = pts.fused_talker_step_batched(
+        qblocks, cfg, xb, jnp.int32(n_past), kvb, mode="dequant", chunk=8,
+        interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(hidden_k), np.asarray(hidden_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(kv_k), np.asarray(kv_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_batched_kernel_head_and_w8a8(setup):
+    cfg, params, qblocks, deq_blocks, kv, x = setup
+    B = 4
+    n_past = jnp.int32(5)
+    keys = jax.random.split(jax.random.PRNGKey(23), B)
+    xb = jax.vmap(lambda k: jax.random.normal(
+        k, (cfg.hidden_size,), jnp.float32))(keys)
+    kvb = jnp.stack([kv * (i + 1) * 0.2 for i in range(B)])
+
+    hd, ld, kvd = pts.fused_talker_step_batched(
+        qblocks, cfg, xb, n_past, kvb, mode="dequant", chunk=8,
+        output_norm=params.output_norm, codec_head=params.codec_head,
+        interpret=True)
+    # reference: per-lane single-stream kernel with head fusion (a Python
+    # loop — vmap over a pallas_call is not supported in interpret mode)
+    for b in range(B):
+        hs, ls, kvs = pts.fused_talker_step(
+            qblocks, cfg, xb[b], n_past, kvb[b], mode="dequant",
+            output_norm=params.output_norm, codec_head=params.codec_head,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(hd[b]), np.asarray(hs),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(ld[b]), np.asarray(ls),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(kvd[b]), np.asarray(kvs),
+                                   rtol=2e-4, atol=2e-4)
+
+    hq, lq, kvq = pts.fused_talker_step_batched(
+        qblocks, cfg, xb, n_past, kvb, mode="w8a8", chunk=8,
+        output_norm=params.output_norm, codec_head=params.codec_head,
+        interpret=True)
+    ref = np.asarray(hd)
+    err = np.abs(np.asarray(hq) - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 0.15, f"w8a8 relative error too large: {err}"
+    assert np.isfinite(np.asarray(lq)).all()
