@@ -36,8 +36,10 @@ from ..models import talker as talker_model
 from ..ops.sampling import apply_repetition_penalty, apply_suppression, sample_token
 
 # one batched code-predictor kernel call holds at most this many lanes in
-# VMEM; bigger batches chunk the call (see _generate_batched_fused)
-_CP_KERNEL_MAX_LANES = 16
+# VMEM; bigger batches chunk the call (see _generate_batched_fused).
+# Measured at B=64: one 64-lane call 2.57 ms vs 4x16-lane chunks 4.88 ms
+# (the weights are re-read per chunk); 64 lanes fits the 128 MB budget.
+_CP_KERNEL_MAX_LANES = 64
 
 
 def _resolve_fused_talker(fused_talker, talker_params) -> bool:
@@ -341,8 +343,10 @@ def generate_from_tokens_batched(
     reads the cp weights once per FRAME-SET instead of 15x and advances all
     lanes through each AR step together (ops/pallas_code_predictor_batched)."""
     B = tokens.shape[0]
-    if (_resolve_fused_cp(fused_cp, cp_params, top_p)
-            and B <= 4 * _CP_KERNEL_MAX_LANES):
+    # B capped at 64: the per-lane KV caches alone are 7.7 GB at B=128
+    # (C=512) and the chip OOMs; past the cap the vmapped path at least
+    # shares its buffers with XLA's allocator
+    if (_resolve_fused_cp(fused_cp, cp_params, top_p) and B <= 64):
         return _generate_batched_fused(
             talker_params, cp_params, tokens, n_tokens, speaker_embd,
             language_id, keys, talker_cfg=talker_cfg, cp_cfg=cp_cfg,
