@@ -529,13 +529,16 @@ class Qwen3TTS:
         if self.vocoder_params is None:
             self._load_vocoder()
 
-        # prefill + first chunk fused into one dispatch (TTFA)
-        state, prefill = decode_loop.generate_start(
-            self.talker_params, self.cp_params,
+        # prefill + first chunk + its vocode fused into ONE dispatch (TTFA):
+        # the first audible samples cost a single device round trip
+        from .runtime.e2e import start_and_vocode
+
+        audio0, state, prefill = start_and_vocode(
+            self.talker_params, self.cp_params, self.vocoder_params,
             jnp.asarray(padded), jnp.int32(n_tok),
             jnp.asarray(speaker, jnp.float32), jnp.int32(params.language_id),
             jax.random.PRNGKey(params.seed),
-            talker_cfg=tcfg, cp_cfg=ccfg,
+            talker_cfg=tcfg, cp_cfg=ccfg, vocoder_cfg=self.config.vocoder,
             chunk_frames=chunk_frames, max_frames=max_frames,
             kv_capacity=kv_capacity,
             temperature=params.temperature, top_k=params.top_k,
@@ -544,7 +547,14 @@ class Qwen3TTS:
 
         emitted = 0
         budget = min(params.max_audio_tokens, max_frames)
-        first = True
+        n0 = min(int(state.frame), budget)
+        if n0 > 0:
+            yield np.asarray(audio0[: n0 * spf], np.float32)
+            emitted = n0
+        if bool(state.done) or n0 >= budget:
+            return
+
+        first = False  # the first chunk is already generated and yielded
         while True:
             if not first:
                 state = decode_loop.generate_chunk(
