@@ -64,22 +64,43 @@ def code_predictor_specs() -> CodePredictorParams:
     )
 
 
+def _fit_spec(spec: P, shape, mesh: Mesh) -> P:
+    """Drop mesh axes from dims they don't evenly divide.
+
+    Quantized leaves reuse the matrix spec for their scale rows, whose
+    group dim (1 for QuantLinear, n_groups for QuantLinear4) is usually
+    smaller than the mesh axis — those dims stay replicated, which is
+    numerically free (scales apply after the sharded dot's all-reduce)."""
+    def size(ax):
+        if isinstance(ax, (tuple, list)):
+            n = 1
+            for a in ax:
+                n *= mesh.shape[a]
+            return n
+        return mesh.shape[ax]
+
+    fitted = [ax if ax is None or shape[d] % size(ax) == 0 else None
+              for d, ax in enumerate(spec)]
+    return P(*fitted)
+
+
 def shard_params(params, specs, mesh: Mesh):
-    """device_put every leaf with its NamedSharding. int8-quantized weights
-    (ops.quantized_matmul.QuantLinear) apply the matrix spec to both the int8
-    values and the per-channel scales (same rank)."""
-    from ..ops.quantized_matmul import QuantLinear
+    """device_put every leaf with its NamedSharding. Quantized weights
+    (QuantLinear int8, QuantLinear4 packed-int4) apply the matrix spec to
+    both the quantized values and the scales (same rank; non-dividing dims
+    fall back to replicated via _fit_spec)."""
+    from ..ops.quantized_matmul import QuantLinear, QuantLinear4
+
+    def put_leaf(x, s):
+        return jax.device_put(x, NamedSharding(mesh, _fit_spec(s, x.shape, mesh)))
 
     def put(x, s):
-        if isinstance(x, QuantLinear):
-            return QuantLinear(
-                q=jax.device_put(x.q, NamedSharding(mesh, s)),
-                scale=jax.device_put(x.scale, NamedSharding(mesh, s)),
-            )
-        return jax.device_put(x, NamedSharding(mesh, s))
+        if isinstance(x, (QuantLinear, QuantLinear4)):
+            return type(x)(q=put_leaf(x.q, s), scale=put_leaf(x.scale, s))
+        return put_leaf(x, s)
 
     return jax.tree.map(put, params, specs,
-                        is_leaf=lambda x: isinstance(x, QuantLinear))
+                        is_leaf=lambda x: isinstance(x, (QuantLinear, QuantLinear4)))
 
 
 def data_spec() -> P:

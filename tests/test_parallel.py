@@ -86,6 +86,48 @@ def test_sharded_generation_matches_unsharded(params, dp, tp_size):
     np.testing.assert_array_equal(np.asarray(base.codes), np.asarray(sharded.codes))
 
 
+@pytest.mark.parametrize("quant", ["int8", "w4"])
+def test_sharded_quantized_generation_matches_unsharded(params, quant):
+    """Production int8/w4 configurations must shard too (VERDICT r1 #7):
+    QuantLinear and QuantLinear4 leaves take the matrix spec on q and scales,
+    with non-dividing scale dims falling back to replicated."""
+    from qwen3tts_tpu.ops.quant import (
+        quantize_block_params, quantize_block_params_w4)
+
+    tp_params, cp_params = params
+    qfn = quantize_block_params if quant == "int8" else quantize_block_params_w4
+    tq = tp_params._replace(blocks=qfn(tp_params.blocks))
+    cq = cp_params._replace(blocks=qfn(cp_params.blocks))
+
+    mesh = mesh_mod.make_mesh(2, 2)
+    B = 2
+    tokens, n_tok, speaker, lang, keys = _batch_inputs(B)
+
+    base = DL.generate_from_tokens_batched(
+        tq, cq, jnp.asarray(tokens), jnp.asarray(n_tok),
+        jnp.asarray(speaker), jnp.asarray(lang), keys, **KW)
+
+    tps = shardings.shard_params(tq, shardings.talker_specs(), mesh)
+    cps = shardings.shard_params(cq, shardings.code_predictor_specs(), mesh)
+    # the quantized values ARE distributed (output/head dim over tp)
+    assert len({s.data.shape for s in tps.blocks.wqkv.q.addressable_shards}) == 1
+    qshape = next(iter({s.data.shape for s in tps.blocks.wqkv.q.addressable_shards}))
+    assert qshape[-1] == tq.blocks.wqkv.q.shape[-1] // 2
+
+    dsh = NamedSharding(mesh, P("dp"))
+    sharded = DL.generate_from_tokens_batched(
+        tps, cps,
+        jax.device_put(jnp.asarray(tokens), dsh),
+        jax.device_put(jnp.asarray(n_tok), dsh),
+        jax.device_put(jnp.asarray(speaker), dsh),
+        jax.device_put(jnp.asarray(lang), dsh),
+        jax.device_put(keys, dsh),
+        **KW)
+
+    np.testing.assert_array_equal(np.asarray(base.n_frames), np.asarray(sharded.n_frames))
+    np.testing.assert_array_equal(np.asarray(base.codes), np.asarray(sharded.codes))
+
+
 def test_tp_sharding_actually_distributes(params):
     tp_params, _ = params
     mesh = mesh_mod.make_mesh(1, 4)
