@@ -70,8 +70,9 @@ def main() -> None:
         cp = cp._replace(blocks=quantize_block_params(cp.blocks))
         jax.block_until_ready((tp.blocks.wqkv.q, cp.blocks.wqkv.q))
     elif quant == "q4":
-        # Q4_K-tier serving: 4-bit talker (w4a8 fused kernel), int8 cp —
-        # mirrors pipeline.py's quant="q4" policy
+        # Q4_K-quality serving tier: 4-bit talker (per-32-group affine
+        # scales, w4 fused kernel), int8 cp — mirrors pipeline.py's
+        # quant="q4" policy
         from qwen3tts_tpu.ops.quant import (
             quantize_block_params, quantize_block_params_w4)
         tp = tp._replace(blocks=quantize_block_params_w4(tp.blocks))
@@ -80,7 +81,10 @@ def main() -> None:
     print(f"param init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     N_FRAMES = 256
-    TTFA_FRAMES = 16
+    # 8-frame first chunk: TTFA = prefill + 8 frames + an 8-frame vocode in
+    # one dispatch (16 frames measured p50 68.9 ms in r1; halving the chunk
+    # targets <50 ms — VERDICT r1 #10)
+    TTFA_FRAMES = 8
     Tb = 64
     rng = np.random.default_rng(0)
     tokens = np.zeros((Tb,), np.int32)
@@ -89,6 +93,59 @@ def main() -> None:
     KV = -(-(10 + N_FRAMES + 8) // 256) * 256
 
     sampling = dict(temperature=0.9, top_k=50, repetition_penalty=1.05)
+
+    # --- per-kernel fail-fast smoke (VERDICT r1 #9): compile+run each fused
+    # kernel in isolation BEFORE the timed sections, so a Mosaic regression
+    # surfaces with the kernel's name in seconds-to-minutes instead of inside
+    # a 25-minute whole-program compile. Shapes match the bench programs, so
+    # the persistent cache shares the work. QWEN3TTS_BENCH_SMOKE=0 skips. ---
+    if (quant in ("int8", "q4")
+            and os.environ.get("QWEN3TTS_BENCH_SMOKE", "1") != "0"):
+        from qwen3tts_tpu.ops.pallas_code_predictor import fused_predict_codes
+        from qwen3tts_tpu.ops.pallas_code_predictor_batched import (
+            fused_predict_codes_batched)
+        from qwen3tts_tpu.ops.pallas_talker_step import (
+            fused_talker_step, fused_talker_step_batched, fused_talker_step_hbm)
+
+        x1 = jnp.zeros((tcfg.hidden_size,), jnp.bfloat16)
+        kv1 = jnp.zeros((tcfg.n_layers, 2, tcfg.n_kv_heads, KV, tcfg.head_dim),
+                        jnp.bfloat16)
+        Bs = 4
+        smokes = [
+            ("talker_v1", lambda: fused_talker_step(
+                tp.blocks, tcfg, x1, jnp.int32(3), kv1,
+                output_norm=tp.output_norm, codec_head=tp.codec_head)[0]),
+            ("talker_v2_hbm", lambda: fused_talker_step_hbm(
+                tp.blocks, tcfg, x1, jnp.int32(3), kv1,
+                output_norm=tp.output_norm, codec_head=tp.codec_head)[0]),
+            ("talker_v3_batched", lambda: fused_talker_step_batched(
+                tp.blocks, tcfg, jnp.zeros((Bs, tcfg.hidden_size), jnp.bfloat16),
+                jnp.int32(3),
+                jnp.zeros((Bs, tcfg.n_layers, 2, tcfg.n_kv_heads, 512,
+                           tcfg.head_dim), jnp.bfloat16),
+                output_norm=tp.output_norm, codec_head=tp.codec_head)[0]),
+            ("cp_fused", lambda: fused_predict_codes(
+                cp, ccfg, x1, x1, jnp.int32(0),
+                temperature=sampling["temperature"],
+                top_k=sampling["top_k"])[0]),
+            ("cp_fused_batched", lambda: fused_predict_codes_batched(
+                cp, ccfg, jnp.zeros((Bs, tcfg.hidden_size), jnp.bfloat16),
+                jnp.zeros((Bs, tcfg.hidden_size), jnp.bfloat16),
+                jnp.zeros((Bs,), jnp.int32),
+                temperature=sampling["temperature"],
+                top_k=sampling["top_k"])[0]),
+        ]
+        for name, fn in smokes:
+            t0 = time.perf_counter()
+            try:
+                out = fn()
+                _ = np.asarray(out).ravel()[:1]
+            except Exception as e:  # noqa: BLE001 — fail fast with the name
+                print(f"kernel smoke {name}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:300]}", file=sys.stderr)
+                raise
+            print(f"kernel smoke {name}: ok ({time.perf_counter() - t0:.1f}s)",
+                  file=sys.stderr)
 
     def run_start(seed, n):
         # prefill + first chunk, one dispatch (the streaming TTFA path)
@@ -140,32 +197,36 @@ def main() -> None:
     print(f"ttfa-start compile+run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     # --- timed: single-dispatch e2e (prefill + 256 frames + vocoder);
-    # best-of-3 — wall times over the device tunnel have ~30% run-to-run
-    # variance ---
-    t_e2e = float("inf")
-    for rep in range(3):
+    # 5 trials — wall times over the device tunnel have ~30% run-to-run
+    # variance; the headline stays best-of (r1-comparable) and the medians
+    # ride along so round-over-round regressions can't hide in the noise ---
+    e2es = []
+    for rep in range(5):
         t0 = time.perf_counter()
         audio, g = run_e2e(2 + rep)
         _ = np.asarray(audio)
-        t_e2e = min(t_e2e, time.perf_counter() - t0)
+        e2es.append(time.perf_counter() - t0)
+    t_e2e = min(e2es)
     n_frames = int(g.n_frames)
 
-    # --- timed: generation-only (best-of-3, for the breakdown) ---
-    t_gen = float("inf")
-    for rep in range(3):
+    # --- timed: generation-only (for the breakdown) ---
+    gens = []
+    for rep in range(5):
         t0 = time.perf_counter()
         g = run_fused(2 + rep)
         _ = np.asarray(g.codes)
-        t_gen = min(t_gen, time.perf_counter() - t0)
+        gens.append(time.perf_counter() - t0)
+    t_gen = min(gens)
     frames_per_s = n_frames / t_gen
 
-    # --- timed: vocoder (best-of-3) ---
-    t_voc = float("inf")
-    for _rep in range(3):
+    # --- timed: vocoder ---
+    vocs = []
+    for _rep in range(5):
         t0 = time.perf_counter()
         a = run_vocoder(g.codes, n_frames)
         _ = np.asarray(a[:8])
-        t_voc = min(t_voc, time.perf_counter() - t0)
+        vocs.append(time.perf_counter() - t0)
+    t_voc = min(vocs)
 
     audio_sec = n_frames * spf / vcfg.sample_rate
     rtf = audio_sec / t_e2e
@@ -188,7 +249,7 @@ def main() -> None:
     print(f"ttfa-fused compile+run: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
     ttfas = []
-    for seed in range(5):
+    for seed in range(15):
         t0 = time.perf_counter()
         a, _s, _p = run_ttfa(13 + seed)
         _ = np.asarray(a)
@@ -204,7 +265,11 @@ def main() -> None:
         "gen_ms_per_frame": round(1e3 * t_gen / n_frames, 2),
         "vocoder_xrt": round(audio_sec / t_voc, 1),
         "e2e_ms": round(t_e2e * 1e3, 1),
+        "e2e_median_ms": round(float(np.median(e2es)) * 1e3, 1),
+        "gen_median_ms_per_frame": round(
+            1e3 * float(np.median(gens)) / n_frames, 2),
         "ttfa_p50_ms": round(ttfa_p50 * 1e3, 1),
+        "ttfa_chunk_frames": TTFA_FRAMES,
         "n_frames": n_frames,
         "quant": quant,
         "device": str(dev),

@@ -75,8 +75,13 @@ def predict_codes(
     temperature: float,
     top_k: int,
     top_p: float = 1.0,
+    greedy=None,
+    use_top_p=None,
 ) -> jnp.ndarray:
-    """AR-generate the 15 residual codes for one frame. Returns int32 [15]."""
+    """AR-generate the 15 residual codes for one frame. Returns int32 [15].
+
+    temperature/top_p may be traced scalars; greedy/use_top_p are static
+    stage gates (ops/kernel_prng.sampling_flags)."""
     ccfg = core_config(cfg)
     kv = jnp.zeros((cfg.n_layers, 2, cfg.n_kv_heads, cfg.max_ctx, cfg.head_dim), params.embds.dtype)
 
@@ -86,7 +91,7 @@ def predict_codes(
     h_last = rms_norm(hidden[-1], params.output_norm, cfg.rms_norm_eps)
     logits0 = (h_last @ params.heads[0]).astype(jnp.float32)
     key, k0 = jax.random.split(key)
-    code0 = sample_token(k0, logits0, temperature=temperature, top_k=top_k, top_p=top_p)
+    code0 = sample_token(k0, logits0, temperature=temperature, top_k=top_k, top_p=top_p, greedy=greedy, use_top_p=use_top_p)
 
     # --- 14 single-token steps; per-step embed table s-1 and head s ---
     def step(carry, s):
@@ -96,7 +101,7 @@ def predict_codes(
         h = rms_norm(hidden, params.output_norm, cfg.rms_norm_eps)
         logits = (h @ params.heads[s]).astype(jnp.float32)
         key, ks = jax.random.split(key)
-        code = sample_token(ks, logits, temperature=temperature, top_k=top_k, top_p=top_p)
+        code = sample_token(ks, logits, temperature=temperature, top_k=top_k, top_p=top_p, greedy=greedy, use_top_p=use_top_p)
         return (code, kv, key), code
 
     (_, _, _), rest = lax.scan(step, (code0, kv, key), jnp.arange(1, cfg.n_steps, dtype=jnp.int32))

@@ -11,8 +11,10 @@ kernel loads it once per frame (~0.1 ms), runs all 16 token passes (2-token
 prefill + 14 AR steps, reference src/tts_transformer.cpp:2310-2575) against
 the VMEM-resident weights, DMAs each per-step LM head [H, 2048] from HBM
 behind the compute (double-buffered), samples each code on-kernel
-(temperature/top-k via threshold binary search + Gumbel argmax, greedy via
-argmax), and accumulates the Sigma code_pred_embd[cb][code_cb] term of the
+(temperature/top-k/top-p via threshold binary searches + counter-hash Gumbel
+argmax, greedy via argmax — see ops/kernel_prng.py; temperature and top_p
+are traced scalars so sampling-config changes never recompile), and
+accumulates the Sigma code_pred_embd[cb][code_cb] term of the
 next talker step embedding (reference :2759-2790) so the decode loop gets it
 for free.
 
@@ -43,8 +45,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .kernel_prng import make_sampler, sampling_flags
+
 NEG_INF = -1e30
-_TOPK_BSEARCH_ITERS = 30
 
 
 def fused_cp_enabled() -> bool:
@@ -87,46 +90,7 @@ def _merge_heads(x, scratch, n_heads, d):
     return scratch[...]
 
 
-def _make_sampler(temperature: float, top_k: int, vocab: int):
-    """Returns sample(logits_f32 [1, V]) -> int32 code. Static config.
-
-    Greedy: plain argmax (first-max tie-break, like the XLA path).
-    Sampled: temperature scale -> top-k threshold by binary search on the
-    value range (ties kept, matching ops/sampling.apply_top_k semantics) ->
-    Gumbel-argmax (distribution-identical to softmax categorical).
-    """
-
-    def sample(logits):
-        # argmax over [1, V] keeping everything 2-D (Mosaic dislikes 1-D ops)
-        if temperature <= 0.0:
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)[0]
-        l = logits * (1.0 / temperature)
-        if 0 < top_k < vocab:
-            lo = jnp.min(l) - 1.0
-            hi = jnp.max(l)
-
-            def bs(_, lohi):
-                lo, hi = lohi
-                mid = 0.5 * (lo + hi)
-                cnt = jnp.sum((l >= mid).astype(jnp.int32))
-                take = cnt >= top_k
-                return jnp.where(take, mid, lo), jnp.where(take, hi, mid)
-
-            lo, hi = lax.fori_loop(0, _TOPK_BSEARCH_ITERS, bs, (lo, hi))
-            l = jnp.where(l >= lo, l, NEG_INF)
-        # prng_random_bits yields int32 on TPU: bitcast to uint32 for a
-        # LOGICAL shift, then back to int32 (top 24 bits are non-negative)
-        # because Mosaic cannot cast uint32 -> float32 directly.
-        bits = pltpu.bitcast(pltpu.prng_random_bits(l.shape), jnp.uint32)
-        hi24 = pltpu.bitcast(bits >> 8, jnp.int32)
-        u = hi24.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
-        gumbel = -jnp.log(-jnp.log(u))
-        return jnp.argmax(l + gumbel, axis=-1).astype(jnp.int32)[0]
-
-    return sample
-
-
-def _make_kernel(cfg, *, temperature, top_k, mode, head_dtype):
+def _make_kernel(cfg, *, top_k, mode, head_dtype, greedy, use_top_p):
     H = cfg.hidden_size
     L = cfg.n_layers
     Hq, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -137,7 +101,7 @@ def _make_kernel(cfg, *, temperature, top_k, mode, head_dtype):
     S = cfg.n_steps            # 15
     eps = cfg.rms_norm_eps
     scale = D ** -0.5
-    sample = _make_sampler(temperature, top_k, V)
+    sample = make_sampler(top_k, V, greedy=greedy, use_top_p=use_top_p)
 
     def mm(x, wq_ref, ws_ref, l):
         """x [1, K] f32 @ stacked weight l -> [1, N] f32."""
@@ -155,13 +119,15 @@ def _make_kernel(cfg, *, temperature, top_k, mode, head_dtype):
         return jax.lax.dot_general(
             x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
-    def kernel(seed_ref, xinit_ref, cos_ref, sin_ref,
+    def kernel(seed_ref, temp_ref, topp_ref, xinit_ref, cos_ref, sin_ref,
                attn_n_ref, q_n_ref, k_n_ref, ffn_n_ref, out_n_ref,
                wqkv_q, wqkv_s, wo_q, wo_s, wgu_q, wgu_s, wd_q, wd_s,
                heads_hbm, embds_hbm,
                codes_ref, sum_ref,
                kc, vc, head_buf, emb_buf, sc_heads, sc_flat, sem_h, sem_e):
-        pltpu.prng_seed(seed_ref[0, 0])
+        seed = seed_ref[0, 0]
+        temp = temp_ref[0, 0]
+        topp = topp_ref[0, 0]
         codes_ref[...] = jnp.zeros((1, 128), jnp.int32)
         sum_ref[...] = jnp.zeros((1, H), jnp.float32)
         # Zero the KV scratch: masked-out attention positions multiply V by a
@@ -279,7 +245,7 @@ def _make_kernel(cfg, *, temperature, top_k, mode, head_dtype):
             def _():
                 head_dma(p, lax.rem(p, 2)).start()
 
-            code = sample(logits)
+            code = sample(logits, temp, topp, seed, p)[0, 0]
             codes_ref[...] = jnp.where(lane == p - 1, code, codes_ref[...])
             return code
 
@@ -291,27 +257,47 @@ def _make_kernel(cfg, *, temperature, top_k, mode, head_dtype):
     return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "temperature", "top_k", "mode", "interpret"))
 def fused_predict_codes(
-    cp_params,
-    cfg,
-    talker_hidden: jnp.ndarray,   # [H] (pre-output-norm talker hidden)
-    cb0_embd: jnp.ndarray,        # [H] talker codec_embd[cb0]
-    seed: jnp.ndarray,            # scalar int32
-    *,
-    temperature: float,
-    top_k: int,
-    mode: str = "w8a8",
-    interpret: bool = False,
+    cp_params, cfg, talker_hidden, cb0_embd, seed, *,
+    temperature, top_k: int, top_p=1.0, mode: str = "w8a8",
+    interpret: bool = False, greedy=None, use_top_p=None,
 ):
     """Returns (codes [15] int32, rest_embd_sum [H] f32).
 
     rest_embd_sum == Sigma_cb code_pred_embd[cb][codes[cb]] — the decode
     loop's next-step embedding term (reference tts_transformer.cpp:2759-2790).
     Requires int8-quantized blocks (ops/quant.quantize_block_params).
+
+    temperature/top_p are traced scalars (value changes never recompile);
+    greedy/use_top_p are static stage gates, derived from python-float
+    params when not given (see kernel_prng.sampling_flags).
     """
+    greedy, use_top_p = sampling_flags(temperature, top_p, greedy, use_top_p)
+    return _fused_predict_codes_jit(
+        cp_params, cfg, talker_hidden, cb0_embd, seed,
+        temperature=temperature, top_k=top_k, top_p=top_p, mode=mode,
+        interpret=interpret, greedy=greedy, use_top_p=use_top_p)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "top_k", "mode", "interpret", "greedy",
+                     "use_top_p"))
+def _fused_predict_codes_jit(
+    cp_params,
+    cfg,
+    talker_hidden: jnp.ndarray,   # [H] (pre-output-norm talker hidden)
+    cb0_embd: jnp.ndarray,        # [H] talker codec_embd[cb0]
+    seed: jnp.ndarray,            # scalar int32
+    *,
+    temperature,                  # traced f32 scalar (recompile-free)
+    top_k: int,
+    top_p,                        # traced f32 scalar (recompile-free)
+    mode: str,
+    interpret: bool,
+    greedy: bool,
+    use_top_p: bool,
+):
     if jax.default_backend() == "cpu":
         interpret = True   # CPU has no Mosaic: tests force the fused path
     blocks = cp_params.blocks
@@ -328,16 +314,16 @@ def fused_predict_codes(
 
     xinit = jnp.stack([talker_hidden, cb0_embd]).astype(cp_params.embds.dtype)
     head_dtype = cp_params.heads.dtype
-    kernel = _make_kernel(
-        cfg, temperature=temperature, top_k=top_k, mode=mode,
-        head_dtype=head_dtype)
+    kernel = _make_kernel(cfg, top_k=top_k, mode=mode, head_dtype=head_dtype,
+                          greedy=greedy, use_top_p=use_top_p)
 
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     any_ = pl.BlockSpec(memory_space=pl.ANY)
     codes_pad, rest_sum = pl.pallas_call(
         kernel,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
+            smem, smem, smem,                        # seed, temp, top_p
             vmem, vmem, vmem,                        # xinit, cos, sin
             vmem, vmem, vmem, vmem, vmem,            # norms
             vmem, vmem, vmem, vmem, vmem, vmem, vmem, vmem,  # weights
@@ -366,6 +352,8 @@ def fused_predict_codes(
         interpret=pltpu.InterpretParams() if interpret else False,
     )(
         jnp.asarray(seed, jnp.int32).reshape(1, 1),
+        jnp.asarray(temperature, jnp.float32).reshape(1, 1),
+        jnp.asarray(top_p, jnp.float32).reshape(1, 1),
         xinit, cos, sin,
         blocks.attn_norm[:, None, :], blocks.q_norm[:, None, :],
         blocks.k_norm[:, None, :], blocks.ffn_norm[:, None, :],

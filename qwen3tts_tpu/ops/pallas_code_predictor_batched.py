@@ -15,8 +15,10 @@ Differences from the single-lane kernel (ops/pallas_code_predictor.py):
 - the next-step embedding gather is a one-hot matmul against the step's
   whole table (streamed to VMEM) instead of a per-row DMA — no per-lane
   scalar extraction needed;
-- sampling is vectorized over lanes (row-wise top-k binary search +
-  Gumbel argmax).
+- sampling is vectorized over lanes with PER-LANE seeds and counter-hash
+  Gumbel noise (ops/kernel_prng.py): lane b's draws are bit-identical to a
+  single-stream kernel run with seed_b, so batched sampled serving
+  reproduces single-stream output lane-for-lane.
 
 Semantics per lane match the reference code predictor exactly
 (src/tts_transformer.cpp:1534-1829, 2310-2575).
@@ -32,8 +34,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .kernel_prng import make_sampler, sampling_flags
+
 NEG_INF = -1e30
-_TOPK_BSEARCH_ITERS = 30
 
 
 def _rms(x, w, eps):
@@ -41,37 +44,7 @@ def _rms(x, w, eps):
     return x * lax.rsqrt(var + eps) * w.astype(jnp.float32)
 
 
-def _make_sampler(temperature: float, top_k: int, vocab: int):
-    """sample(logits_f32 [B, V]) -> int32 [B, 1] codes (row-wise)."""
-
-    def sample(logits):
-        if temperature <= 0.0:
-            return jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
-        l = logits * (1.0 / temperature)
-        if 0 < top_k < vocab:
-            lo = jnp.min(l, axis=-1, keepdims=True) - 1.0
-            hi = jnp.max(l, axis=-1, keepdims=True)
-
-            def bs(_, lohi):
-                lo, hi = lohi
-                mid = 0.5 * (lo + hi)
-                cnt = jnp.sum((l >= mid).astype(jnp.int32), axis=-1,
-                              keepdims=True)
-                take = cnt >= top_k
-                return jnp.where(take, mid, lo), jnp.where(take, hi, mid)
-
-            lo, hi = lax.fori_loop(0, _TOPK_BSEARCH_ITERS, bs, (lo, hi))
-            l = jnp.where(l >= lo, l, NEG_INF)
-        bits = pltpu.bitcast(pltpu.prng_random_bits(l.shape), jnp.uint32)
-        hi24 = pltpu.bitcast(bits >> 8, jnp.int32)
-        u = hi24.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
-        gumbel = -jnp.log(-jnp.log(u))
-        return jnp.argmax(l + gumbel, axis=-1, keepdims=True).astype(jnp.int32)
-
-    return sample
-
-
-def _make_kernel(cfg, B, *, temperature, top_k, mode, io_dtype):
+def _make_kernel(cfg, B, *, top_k, mode, io_dtype, greedy, use_top_p):
     H = cfg.hidden_size
     L = cfg.n_layers
     Hq, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -82,7 +55,7 @@ def _make_kernel(cfg, B, *, temperature, top_k, mode, io_dtype):
     S = cfg.n_steps
     eps = cfg.rms_norm_eps
     scale = D ** -0.5
-    sample = _make_sampler(temperature, top_k, V)
+    sample = make_sampler(top_k, V, greedy=greedy, use_top_p=use_top_p)
 
     def mm(x, wq_ref, ws_ref, l):
         """x [B, K] f32 @ stacked weight l -> [B, N] f32 (per-lane act quant)."""
@@ -100,13 +73,15 @@ def _make_kernel(cfg, B, *, temperature, top_k, mode, io_dtype):
         return jax.lax.dot_general(
             x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
-    def kernel(seed_ref, xinit_ref, cos_ref, sin_ref,
+    def kernel(seeds_ref, temp_ref, topp_ref, xinit_ref, cos_ref, sin_ref,
                attn_n_ref, q_n_ref, k_n_ref, ffn_n_ref, out_n_ref,
                wqkv_q, wqkv_s, wo_q, wo_s, wgu_q, wgu_s, wd_q, wd_s,
                heads_hbm, embds_hbm,
                codes_ref, sum_ref,
                kc, vc, head_buf, table_buf, sc3, sc_flat, sem_h, sem_t):
-        pltpu.prng_seed(seed_ref[0, 0])
+        seeds = seeds_ref[...]          # [B, 1] int32 per-lane seeds (VMEM)
+        temp = temp_ref[0, 0]
+        topp = topp_ref[0, 0]
         codes_ref[...] = jnp.zeros((B, 128), jnp.int32)
         sum_ref[...] = jnp.zeros((B, H), jnp.float32)
         kc[...] = jnp.zeros((L, Hkv, CTX, B, D), io_dtype)
@@ -232,7 +207,7 @@ def _make_kernel(cfg, B, *, temperature, top_k, mode, io_dtype):
             def _():
                 head_dma(p, lax.rem(p, 2)).start()
 
-            code = sample(logits)                               # [B, 1]
+            code = sample(logits, temp, topp, seeds, p)         # [B, 1]
             codes_ref[...] = jnp.where(lane == p - 1, code, codes_ref[...])
             return code
 
@@ -253,22 +228,43 @@ def _make_kernel(cfg, B, *, temperature, top_k, mode, io_dtype):
     return kernel
 
 
+def fused_predict_codes_batched(
+    cp_params, cfg, talker_hidden, cb0_embd, seeds, *,
+    temperature, top_k: int, top_p=1.0, mode: str = "w8a8",
+    interpret: bool = False, greedy=None, use_top_p=None,
+):
+    """Returns (codes [B, 15] int32, rest_embd_sum [B, H] f32).
+
+    Lane b's sampled codes equal fused_predict_codes run single-stream with
+    seed seeds[b] (counter-hash noise is lane-decomposable). temperature and
+    top_p are traced scalars; greedy/use_top_p static stage gates (derived
+    from python-float params when not given)."""
+    greedy, use_top_p = sampling_flags(temperature, top_p, greedy, use_top_p)
+    return _fused_predict_codes_batched_jit(
+        cp_params, cfg, talker_hidden, cb0_embd, seeds,
+        temperature=temperature, top_k=top_k, top_p=top_p, mode=mode,
+        interpret=interpret, greedy=greedy, use_top_p=use_top_p)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "temperature", "top_k", "mode", "interpret"))
-def fused_predict_codes_batched(
+    static_argnames=("cfg", "top_k", "mode", "interpret", "greedy",
+                     "use_top_p"))
+def _fused_predict_codes_batched_jit(
     cp_params,
     cfg,
     talker_hidden: jnp.ndarray,   # [B, H]
     cb0_embd: jnp.ndarray,        # [B, H]
-    seed: jnp.ndarray,            # scalar int32
+    seeds: jnp.ndarray,           # [B] int32 per-lane seeds
     *,
-    temperature: float,
+    temperature,                  # traced f32 scalar (recompile-free)
     top_k: int,
-    mode: str = "w8a8",
-    interpret: bool = False,
+    top_p,                        # traced f32 scalar (recompile-free)
+    mode: str,
+    interpret: bool,
+    greedy: bool,
+    use_top_p: bool,
 ):
-    """Returns (codes [B, 15] int32, rest_embd_sum [B, H] f32)."""
     if jax.default_backend() == "cpu":
         interpret = True   # CPU has no Mosaic: tests force the fused path
     blocks = cp_params.blocks
@@ -286,14 +282,15 @@ def fused_predict_codes_batched(
 
     xinit = jnp.stack([talker_hidden, cb0_embd]).astype(io_dtype)  # [2, B, H]
 
-    kernel = _make_kernel(cfg, B, temperature=temperature, top_k=top_k,
-                          mode=mode, io_dtype=io_dtype)
+    kernel = _make_kernel(cfg, B, top_k=top_k, mode=mode, io_dtype=io_dtype,
+                          greedy=greedy, use_top_p=use_top_p)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     any_ = pl.BlockSpec(memory_space=pl.ANY)
     codes_pad, rest_sum = pl.pallas_call(
         kernel,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            vmem, smem, smem,       # per-lane seeds (VMEM), temp, top_p
             vmem, vmem, vmem,
             vmem, vmem, vmem, vmem, vmem,
             vmem, vmem, vmem, vmem, vmem, vmem, vmem, vmem,
@@ -319,7 +316,9 @@ def fused_predict_codes_batched(
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(
-        jnp.asarray(seed, jnp.int32).reshape(1, 1),
+        jnp.asarray(seeds, jnp.int32).reshape(B, 1),
+        jnp.asarray(temperature, jnp.float32).reshape(1, 1),
+        jnp.asarray(top_p, jnp.float32).reshape(1, 1),
         xinit, cos, sin,
         blocks.attn_norm[:, None, :], blocks.q_norm[:, None, :],
         blocks.k_norm[:, None, :], blocks.ffn_norm[:, None, :],

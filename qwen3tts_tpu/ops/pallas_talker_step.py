@@ -70,11 +70,12 @@ def _make_mm(mode):
 
     Modes: "w8a8" int8 weights / dynamic per-token int8 activations (int32
     MXU accum); "dequant" int8 weights dequantized to f32 (test reference);
-    "w4a8"/"w4dequant" the same pair for split-half nibble-packed int4
-    weights (QuantLinear4): the byte block [K/2, N] unpacks into two
-    contiguous int8 halves (mask/shift only, no interleave), each dotted with
-    its half of the activation and scaled per-half-per-channel — halved HBM
-    weight traffic for two half-K dots and a few VPU ops."""
+    "w4bf16"/"w4dequant" the same pair for split-half nibble-packed int4
+    weights with per-K-group scales (QuantLinear4): the byte block [K/2, N]
+    unpacks into two contiguous halves (mask/shift only, no interleave),
+    each dequantized in-register with its group-broadcast scales and dotted
+    in bf16 ("w4bf16") or f32 ("w4dequant") — halved HBM weight traffic; the
+    group scales are what keep the 4-bit tier servable (cosine >= 0.99)."""
 
     def quant_act(x):
         # per-row scales: one token per row (M=1 single-stream; M=B lanes in
@@ -91,21 +92,31 @@ def _make_mm(mode):
     def mm(x, wq_ref, ws_ref, j):
         wq = wq_ref[0, j]
         ws = ws_ref[0, j].astype(jnp.float32)
-        if mode in ("w4a8", "w4dequant"):
-            Kh = wq.shape[0]
+        if mode in ("w4bf16", "w4dequant"):
+            Kh, N = wq.shape
+            G = ws.shape[0] // 2        # ws stacks [scales; zeros], G rows each
+            Gh = G // 2
+            gs = (2 * Kh) // G
             b = wq.astype(jnp.int32)
-            lo = ((b & 15) - 8).astype(jnp.int8)
-            hi = (((b >> 4) & 15) - 8).astype(jnp.int8)
-            if mode == "w4a8":
-                xq, s_act = quant_act(x)
-                return (dot(xq[:, :Kh], lo, jnp.int32).astype(jnp.float32)
-                        * ws[0:1]
-                        + dot(xq[:, Kh:], hi, jnp.int32).astype(jnp.float32)
-                        * ws[1:2]) * s_act
-            return (dot(x[:, :Kh], lo.astype(jnp.float32), jnp.float32)
-                    * ws[0:1]
-                    + dot(x[:, Kh:], hi.astype(jnp.float32), jnp.float32)
-                    * ws[1:2])
+            lo = (b & 15).astype(jnp.float32)
+            hi = ((b >> 4) & 15).astype(jnp.float32)
+            s, z = ws[:G], ws[G:]
+
+            def full(rows):
+                # broadcast each group's row over its gs K-rows (row-major
+                # collapse [G/2, gs, N] -> [K/2, N] is tile-aligned: gs % 8
+                # == 0 at real shapes)
+                return jnp.broadcast_to(
+                    rows[:, None, :], (Gh, gs, N)).reshape(Kh, N)
+
+            w_lo = lo * full(s[:Gh]) - full(z[:Gh])
+            w_hi = hi * full(s[Gh:]) - full(z[Gh:])
+            if mode == "w4bf16":
+                xb = x.astype(jnp.bfloat16)
+                return (dot(xb[:, :Kh], w_lo.astype(jnp.bfloat16), jnp.float32)
+                        + dot(xb[:, Kh:], w_hi.astype(jnp.bfloat16), jnp.float32))
+            return (dot(x[:, :Kh], w_lo, jnp.float32)
+                    + dot(x[:, Kh:], w_hi, jnp.float32))
         if mode == "w8a8":
             xq, s_act = quant_act(x)
             return dot(xq, wq, jnp.int32).astype(jnp.float32) * (s_act * ws)
@@ -119,8 +130,27 @@ def _weight_mode(blocks, mode):
     from .quantized_matmul import QuantLinear4
 
     if isinstance(blocks.wqkv, QuantLinear4):
-        return "w4dequant" if mode == "dequant" else "w4a8"
+        return "w4dequant" if mode == "dequant" else "w4bf16"
     return mode
+
+
+def _weight_specs_and_operands(blocks, blk, grp):
+    """(in_specs, operands) for the four projection weights: block shapes are
+    derived from the leaves so int8 ([K, N] q + [1, N] scale) and packed u4
+    ([K/2, N] q + per-group affine params) route through the same plumbing.
+    QuantLinear4's scale and zero rows stack into ONE [2G, N] operand (rows
+    [0, G) scales, [G, 2G) zeros) to keep the kernel signature fixed."""
+    from .quantized_matmul import QuantLinear4
+
+    specs, ops = [], []
+    for w in (blocks.wqkv, blocks.wo, blocks.w_gateup, blocks.w_down):
+        if isinstance(w, QuantLinear4):
+            sz = jnp.concatenate([w.scale, w.zero], axis=-2)
+        else:
+            sz = w.scale
+        specs += [blk(tuple(w.q.shape[-2:])), blk(tuple(sz.shape[-2:]))]
+        ops += [grp(w.q), grp(sz)]
+    return specs, ops
 
 
 def _make_kernel(cfg, C, *, mode, kv_dtype, lps, with_head):
@@ -262,7 +292,6 @@ def fused_talker_step(
     lps = layers_per_step if L % layers_per_step == 0 else 1
     with_head = codec_head is not None
     mode = _weight_mode(blocks, mode)
-    kdiv = 2 if mode.startswith("w4") else 1   # packed rows; scale rows = kdiv
 
     angles = (jnp.asarray(n_past, jnp.float32)
               * cfg.rope_theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half))
@@ -282,25 +311,18 @@ def fused_talker_step(
         """[L, ...] -> [L/lps, lps, ...] (free reshape on the leading axis)."""
         return a.reshape((L // lps, lps) + a.shape[1:])
 
+    wspecs, wops = _weight_specs_and_operands(blocks, blk, grp)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),    # n_past (1,1)
         vmem_full, vmem_full, vmem_full,          # x, cos, sin
         vmem_full, vmem_full, vmem_full, vmem_full,  # norms [L,1,dim]
-        blk((H // kdiv, QKV)), blk((kdiv, QKV)),
-        blk((Hq * D // kdiv, H)), blk((kdiv, H)),
-        blk((H // kdiv, 2 * F)), blk((kdiv, 2 * F)),
-        blk((F // kdiv, H)), blk((kdiv, H)),
-    ]
+    ] + wspecs
     operands = [
         jnp.asarray(n_past, jnp.int32).reshape(1, 1),
         step_embd.reshape(1, H), cos, sin,
         blocks.attn_norm[:, None, :], blocks.q_norm[:, None, :],
         blocks.k_norm[:, None, :], blocks.ffn_norm[:, None, :],
-        grp(blocks.wqkv.q), grp(blocks.wqkv.scale),
-        grp(blocks.wo.q), grp(blocks.wo.scale),
-        grp(blocks.w_gateup.q), grp(blocks.w_gateup.scale),
-        grp(blocks.w_down.q), grp(blocks.w_down.scale),
-    ]
+    ] + wops
     if with_head:
         Vc = codec_head.shape[-1]
         in_specs += [vmem_full, vmem_full]
@@ -561,10 +583,14 @@ def fused_talker_step_hbm(
     QKV = (Hq + 2 * Hkv) * D
     lps = layers_per_step if L % layers_per_step == 0 else 1
     chunk = min(chunk, C)
-    assert C % chunk == 0, f"capacity {C} not a multiple of kv chunk {chunk}"
+    if C % chunk != 0:
+        # library callers can pass arbitrary capacities; fall back to the
+        # largest divisor <= chunk instead of asserting (pipeline.py always
+        # 256-aligns, so this only triggers for direct API users)
+        while C % chunk != 0:
+            chunk -= 1
     with_head = codec_head is not None
     mode = _weight_mode(blocks, mode)
-    kdiv = 2 if mode.startswith("w4") else 1
 
     angles = (jnp.asarray(n_past, jnp.float32)
               * cfg.rope_theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half))
@@ -583,25 +609,18 @@ def fused_talker_step_hbm(
     def grp(a):
         return a.reshape((L // lps, lps) + a.shape[1:])
 
+    wspecs, wops = _weight_specs_and_operands(blocks, blk, grp)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),    # n_past (1,1)
         vmem_full, vmem_full, vmem_full,          # x, cos, sin
         vmem_full, vmem_full, vmem_full, vmem_full,  # norms [L,1,dim]
-        blk((H // kdiv, QKV)), blk((kdiv, QKV)),
-        blk((Hq * D // kdiv, H)), blk((kdiv, H)),
-        blk((H // kdiv, 2 * F)), blk((kdiv, 2 * F)),
-        blk((F // kdiv, H)), blk((kdiv, H)),
-    ]
+    ] + wspecs
     operands = [
         jnp.asarray(n_past, jnp.int32).reshape(1, 1),
         step_embd.reshape(1, H), cos, sin,
         blocks.attn_norm[:, None, :], blocks.q_norm[:, None, :],
         blocks.k_norm[:, None, :], blocks.ffn_norm[:, None, :],
-        grp(blocks.wqkv.q), grp(blocks.wqkv.scale),
-        grp(blocks.wo.q), grp(blocks.wo.scale),
-        grp(blocks.w_gateup.q), grp(blocks.w_gateup.scale),
-        grp(blocks.w_down.q), grp(blocks.w_down.scale),
-    ]
+    ] + wops
     if with_head:
         Vc = codec_head.shape[-1]
         in_specs += [vmem_full, vmem_full]
@@ -848,10 +867,11 @@ def fused_talker_step_batched(
     half = D // 2
     QKV = (Hq + 2 * Hkv) * D
     chunk = min(chunk, C)
-    assert C % chunk == 0, f"capacity {C} not a multiple of kv chunk {chunk}"
+    if C % chunk != 0:
+        while C % chunk != 0:   # largest divisor <= chunk (no assert: see v2)
+            chunk -= 1
     with_head = codec_head is not None
     mode = _weight_mode(blocks, mode)
-    kdiv = 2 if mode.startswith("w4") else 1
 
     angles = (jnp.asarray(n_past, jnp.float32)
               * cfg.rope_theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half))
@@ -870,25 +890,18 @@ def fused_talker_step_batched(
     def grp(a):
         return a.reshape((L, 1) + a.shape[1:])
 
+    wspecs, wops = _weight_specs_and_operands(blocks, blk, grp)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),    # n_past (1,1)
         vmem_full, vmem_full, vmem_full,          # x, cos, sin
         vmem_full, vmem_full, vmem_full, vmem_full,  # norms [L,1,dim]
-        blk((H // kdiv, QKV)), blk((kdiv, QKV)),
-        blk((Hq * D // kdiv, H)), blk((kdiv, H)),
-        blk((H // kdiv, 2 * F)), blk((kdiv, 2 * F)),
-        blk((F // kdiv, H)), blk((kdiv, H)),
-    ]
+    ] + wspecs
     operands = [
         jnp.asarray(n_past, jnp.int32).reshape(1, 1),
         step_embd, cos, sin,
         blocks.attn_norm[:, None, :], blocks.q_norm[:, None, :],
         blocks.k_norm[:, None, :], blocks.ffn_norm[:, None, :],
-        grp(blocks.wqkv.q), grp(blocks.wqkv.scale),
-        grp(blocks.wo.q), grp(blocks.wo.scale),
-        grp(blocks.w_gateup.q), grp(blocks.w_gateup.scale),
-        grp(blocks.w_down.q), grp(blocks.w_down.scale),
-    ]
+    ] + wops
     if with_head:
         Vc = codec_head.shape[-1]
         in_specs += [vmem_full, vmem_full]

@@ -44,26 +44,55 @@ def quantize_block_params(blocks: BlockParams) -> BlockParams:
     )
 
 
-def quantize_w4(w: jnp.ndarray, scale_dtype=jnp.float32) -> QuantLinear4:
-    """Symmetric int4 ([-7, 7]) with per-half-per-output-channel scales,
-    packed two-nibbles-per-byte in the split-half layout (see QuantLinear4)."""
+# Per-K-group scale width (ggml Q4_K uses 32-element sub-blocks; group-wise
+# scales are what lift prefill-logits cosine from 0.81 to >0.99 vs the old
+# 2-group split-half format). Shrunk via gcd at tiny/test shapes.
+W4_GROUP = 32
+
+
+def _w4_group_size(K: int, group_size: int = W4_GROUP) -> int:
+    import math
+
+    return math.gcd(K // 2, group_size)
+
+
+def quantize_w4(w: jnp.ndarray, scale_dtype=jnp.float32,
+                group_size: int = W4_GROUP) -> QuantLinear4:
+    """Affine u4 ([0, 15]) with per-K-group per-output-channel (scale, zero):
+    w ~= q*scale - zero, packed two-nibbles-per-byte in the split-half layout
+    (see QuantLinear4). The asymmetric min/max fit matches ggml Q4_K's scheme
+    and measures far better than symmetric int4 on gaussian weights."""
     wf = w.astype(jnp.float32)
-    K = wf.shape[-2]
-    halves = jnp.stack([wf[..., :K // 2, :], wf[..., K // 2:, :]], axis=-3)
-    amax = jnp.max(jnp.abs(halves), axis=-2)               # [..., 2, N]
-    scale = jnp.where(amax > 0, amax / 7.0, 1.0)
-    q = jnp.clip(jnp.round(halves / scale[..., :, None, :]), -7, 7)
-    packed = ((q[..., 0, :, :] + 8).astype(jnp.int32)
-              | ((q[..., 1, :, :] + 8).astype(jnp.int32) << 4)).astype(jnp.uint8)
-    return QuantLinear4(q=packed.view(jnp.int8), scale=scale.astype(scale_dtype))
+    K, N = wf.shape[-2], wf.shape[-1]
+    gs = _w4_group_size(K, group_size)
+    G = K // gs
+    grouped = wf.reshape(wf.shape[:-2] + (G, gs, N))
+    wmin = jnp.minimum(jnp.min(grouped, axis=-2), 0.0)     # [..., G, N] <= 0
+    wmax = jnp.maximum(jnp.max(grouped, axis=-2), 0.0)
+    rng = wmax - wmin
+    scale = jnp.where(rng > 0, rng / 15.0, 1.0)
+    zero = -wmin                                           # >= 0
+    q = jnp.clip(jnp.round((grouped + zero[..., :, None, :])
+                           / scale[..., :, None, :]), 0, 15)
+    q = q.reshape(wf.shape)                                # [..., K, N]
+    lo, hi = q[..., :K // 2, :], q[..., K // 2:, :]
+    packed = (lo.astype(jnp.int32)
+              | (hi.astype(jnp.int32) << 4)).astype(jnp.uint8)
+    return QuantLinear4(q=packed.view(jnp.int8),
+                        scale=scale.astype(scale_dtype),
+                        zero=zero.astype(scale_dtype))
 
 
 def dequantize4(w: QuantLinear4, dtype=jnp.float32) -> jnp.ndarray:
     lo, hi = unpack4(w.q)
-    return jnp.concatenate(
-        [lo.astype(jnp.float32) * w.scale[..., 0:1, :].astype(jnp.float32),
-         hi.astype(jnp.float32) * w.scale[..., 1:2, :].astype(jnp.float32)],
-        axis=-2).astype(dtype)
+    q = jnp.concatenate([lo, hi], axis=-2).astype(jnp.float32)   # [..., K, N]
+    K, N = q.shape[-2], q.shape[-1]
+    G = w.scale.shape[-2]
+    gs = K // G
+    grouped = q.reshape(q.shape[:-2] + (G, gs, N))
+    deq = (grouped * w.scale[..., :, None, :].astype(jnp.float32)
+           - w.zero[..., :, None, :].astype(jnp.float32))
+    return deq.reshape(q.shape).astype(dtype)
 
 
 def quantize_block_params_w4(blocks: BlockParams) -> BlockParams:

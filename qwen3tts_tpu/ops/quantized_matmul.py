@@ -16,23 +16,32 @@ class QuantLinear(NamedTuple):
 
 
 class QuantLinear4(NamedTuple):
-    """4-bit weights for an [..., K, N] weight, split-half nibble packing.
+    """4-bit weights for an [..., K, N] weight, split-half nibble packing
+    with per-K-group per-output-channel AFFINE dequantization:
+
+        w[k, n] = q[k, n] * scale[g(k), n] - zero[g(k), n],   q in [0, 15]
+
+    the same affine-per-32-sub-block scheme as ggml Q4_K (which the reference
+    ships and runs, convert_tts_to_gguf.py:244-270) but with full-precision
+    scales instead of Q4_K's 6-bit quantized scale/min pairs — measured
+    strictly more accurate than a Q4_K storage roundtrip on the same weights
+    (asymmetric fit beats symmetric int4 by a wide margin on
+    gaussian-distributed weights; see docs/performance.md).
 
     Byte [i, n] holds row i in its low nibble and row i + K/2 in its high
-    nibble (both stored as value+8 in [1, 15]; symmetric int4 in [-7, 7]).
-    This layout unpacks into two contiguous [K/2, N] halves — no lane/sublane
-    interleave — so a matmul is two half-K dots, and each half carries its own
-    per-output-channel scale (a free 2-group quantization along K).
+    nibble. This layout unpacks into two contiguous [K/2, N] halves — no
+    lane/sublane interleave — so a matmul is two half-K dots. Group g covers
+    LOGICAL rows [g*gs, (g+1)*gs) with gs = K // G (32 at the real shapes);
+    groups [0, G/2) cover the low-nibble half, [G/2, G) the high half.
 
-    Serving-tier parity: the reference ships and runs Q4_K GGUF artifacts
-    (convert_tts_to_gguf.py:244-270, scripts/benchmark § q4_k); this is the
-    TPU-native 4-bit runtime format those weights re-quantize into at load
-    (Q4_K's 32-element blocks are a storage layout tuned for AVX/NEON dot
-    kernels, not for MXU dots — see io/gguf.py for the storage codec).
+    Q4_K's on-disk super-block layout itself is a storage codec tuned for
+    AVX/NEON dot kernels, not MXU dots — see io/gguf.py for that codec; GGUF
+    Q4_K tensors re-quantize into this runtime format at load.
     """
 
-    q: jnp.ndarray       # int8 [..., K//2, N] (two nibbles per byte)
-    scale: jnp.ndarray   # [..., 2, N] (row 0: low half, row 1: high half)
+    q: jnp.ndarray       # int8 [..., K//2, N] (two nibbles per byte, raw u4)
+    scale: jnp.ndarray   # [..., G, N] per-group scales in logical-K order
+    zero: jnp.ndarray    # [..., G, N] per-group offsets (subtracted)
 
 
 Weight = Union[jnp.ndarray, QuantLinear, QuantLinear4]
@@ -49,10 +58,10 @@ def weight_in_dim(w: Weight) -> int:
 
 
 def unpack4(q: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Packed [..., K//2, N] int8 -> (lo, hi) int8 halves in [-7, 7]."""
+    """Packed [..., K//2, N] int8 -> (lo, hi) raw-u4 halves in [0, 15]."""
     b = q.astype(jnp.int32)
-    lo = ((b & 15) - 8).astype(jnp.int8)
-    hi = (((b >> 4) & 15) - 8).astype(jnp.int8)
+    lo = (b & 15).astype(jnp.int8)
+    hi = ((b >> 4) & 15).astype(jnp.int8)
     return lo, hi
 
 
@@ -75,11 +84,23 @@ def matmul(x: jnp.ndarray, w: Weight) -> jnp.ndarray:
     if isinstance(w, QuantLinear4):
         lo, hi = unpack4(w.q)
         Kh = lo.shape[-2]
-        y = (jnp.dot(x[..., :Kh], lo.astype(x.dtype),
-                     preferred_element_type=jnp.float32)
-             * w.scale[..., 0:1, :].astype(jnp.float32)
-             + jnp.dot(x[..., Kh:], hi.astype(x.dtype),
-                       preferred_element_type=jnp.float32)
-             * w.scale[..., 1:2, :].astype(jnp.float32))
+        G = w.scale.shape[-2]
+        Gh = G // 2
+
+        def half(xh, wh, sh, zh):
+            # grouped dot: P[.., g, n] = x_g @ q_g, then Σ_g (P*s_g - t_g*z_g)
+            # with t_g = Σ_k x_g[k] (the affine offset folds into a per-group
+            # scalar correction) — the weight bytes stay int (converted in
+            # registers), no K×N f32 dequant materialization.
+            xg = xh.reshape(xh.shape[:-1] + (Gh, wh.shape[-2] // Gh))
+            wg = wh.reshape(wh.shape[:-2] + (Gh, wh.shape[-2] // Gh, wh.shape[-1]))
+            p = jnp.einsum("...gk,...gkn->...gn", xg, wg.astype(xh.dtype),
+                           preferred_element_type=jnp.float32)
+            t = jnp.sum(xg.astype(jnp.float32), axis=-1)           # [..., Gh]
+            return (jnp.sum(p * sh.astype(jnp.float32), axis=-2)
+                    - jnp.einsum("...g,...gn->...n", t, zh.astype(jnp.float32)))
+
+        y = (half(x[..., :Kh], lo, w.scale[..., :Gh, :], w.zero[..., :Gh, :])
+             + half(x[..., Kh:], hi, w.scale[..., Gh:, :], w.zero[..., Gh:, :]))
         return y.astype(x.dtype)
     return x @ w

@@ -95,8 +95,11 @@ def shard_params(params, specs, mesh: Mesh):
         return jax.device_put(x, NamedSharding(mesh, _fit_spec(s, x.shape, mesh)))
 
     def put(x, s):
-        if isinstance(x, (QuantLinear, QuantLinear4)):
-            return type(x)(q=put_leaf(x.q, s), scale=put_leaf(x.scale, s))
+        if isinstance(x, QuantLinear4):
+            return QuantLinear4(q=put_leaf(x.q, s), scale=put_leaf(x.scale, s),
+                                zero=put_leaf(x.zero, s))
+        if isinstance(x, QuantLinear):
+            return QuantLinear(q=put_leaf(x.q, s), scale=put_leaf(x.scale, s))
         return put_leaf(x, s)
 
     return jax.tree.map(put, params, specs,

@@ -33,12 +33,14 @@ from jax import lax
 from ..config import CodePredictorConfig, TalkerConfig
 from ..models import code_predictor as cp_model
 from ..models import talker as talker_model
+from ..ops.kernel_prng import sampling_flags
 from ..ops.sampling import apply_repetition_penalty, apply_suppression, sample_token
 
 # one batched code-predictor kernel call holds at most this many lanes in
-# VMEM; bigger batches chunk the call (see _generate_batched_fused).
-# Measured at B=64: one 64-lane call 2.57 ms vs 4x16-lane chunks 4.88 ms
-# (the weights are re-read per chunk); 64 lanes fits the 128 MB budget.
+# VMEM (the 128 MB budget); generate_from_tokens_batched routes B <= 64
+# through the hand-batched fused loop and larger batches through the vmapped
+# XLA path. Measured at B=64: one 64-lane call 2.57 ms vs 4x16-lane chunks
+# 4.88 ms (the weights would be re-read per chunk).
 _CP_KERNEL_MAX_LANES = 64
 
 
@@ -55,18 +57,19 @@ def _resolve_fused_talker(fused_talker, talker_params) -> bool:
     return bool(fused_talker)
 
 
-def _resolve_fused_cp(fused_cp, cp_params, top_p: float) -> bool:
+def _resolve_fused_cp(fused_cp, cp_params) -> bool:
     """Static (trace-time) choice of the mega-fused code-predictor kernel.
 
-    "auto" => on when the backend is a TPU, the blocks are int8-quantized
-    (the kernel keeps them VMEM-resident), and top_p is disabled (the kernel
-    samples with temperature/top-k only). See ops/pallas_code_predictor.py.
+    "auto" => on when the backend is a TPU and the blocks are int8-quantized
+    (the kernel keeps them VMEM-resident). The kernel samples with the full
+    temperature/top-k/top-p semantics on-device (ops/kernel_prng.py), so
+    top_p no longer gates the fast path. See ops/pallas_code_predictor.py.
     """
     if fused_cp == "auto":
         from ..ops.pallas_code_predictor import fused_cp_enabled
         from ..ops.quantized_matmul import QuantLinear
 
-        return (fused_cp_enabled() and top_p >= 1.0
+        return (fused_cp_enabled()
                 and isinstance(cp_params.blocks.wqkv, QuantLinear))
     return bool(fused_cp)
 
@@ -109,9 +112,12 @@ def generate(
     fused_cp="auto",
     fused_talker="auto",
     kv_strategy: str = "auto",
+    greedy=None,
+    use_top_p=None,
 ) -> GenerateResult:
     """Run prefill + the full frame loop. Static args define the compiled
-    shape bucket; tensor args vary freely within it.
+    shape bucket; temperature/top_p/repetition_penalty are traced scalars
+    (value changes never recompile) and tensor args vary freely within it.
 
     progress_cb, if given, is invoked from the device loop via io_callback
     with the current frame count — this wires up the reference's declared-but-
@@ -146,7 +152,7 @@ def generate(
         temperature=temperature, top_k=top_k, top_p=top_p,
         repetition_penalty=repetition_penalty, progress_cb=progress_cb,
         allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker,
-        kv_strategy=kv_strategy)
+        kv_strategy=kv_strategy, greedy=greedy, use_top_p=use_top_p)
 
     def cond(s: _LoopState):
         return jnp.logical_and(~s.done, s.frame < max_frames)
@@ -159,6 +165,7 @@ def _make_body(
     talker_params, cp_params, talker_cfg, cp_cfg, prefill, *,
     temperature, top_k, top_p, repetition_penalty, progress_cb, allow_eos,
     fused_cp="auto", fused_talker="auto", kv_strategy: str = "auto",
+    greedy=None, use_top_p=None,
 ):
     """The per-frame loop body, shared by full and chunked (streaming)
     generation."""
@@ -166,8 +173,9 @@ def _make_body(
     suppress_start = Vc - talker_cfg.n_suppressed_tail
     Trb = prefill.trailing.shape[0]
     dtype = talker_params.codec_embd.dtype
-    use_fused_cp = _resolve_fused_cp(fused_cp, cp_params, top_p)
+    use_fused_cp = _resolve_fused_cp(fused_cp, cp_params)
     use_fused_talker = _resolve_fused_talker(fused_talker, talker_params)
+    greedy, use_top_p = sampling_flags(temperature, top_p, greedy, use_top_p)
 
     def body(s: _LoopState) -> _LoopState:
         # --- sample codebook 0 ---
@@ -177,7 +185,8 @@ def _make_body(
         l = apply_suppression(s.logits, suppress_start, eos_for_mask)
         l = apply_repetition_penalty(l, s.seen, repetition_penalty)
         key, k_cb0, k_cp = jax.random.split(s.key, 3)
-        cb0 = sample_token(k_cb0, l, temperature=temperature, top_k=top_k, top_p=top_p)
+        cb0 = sample_token(k_cb0, l, temperature=temperature, top_k=top_k,
+                           top_p=top_p, greedy=greedy, use_top_p=use_top_p)
         done = jnp.logical_and(cb0 == talker_cfg.codec_eos_id, allow_eos)
 
         # --- residual codebooks 1..15 ---
@@ -189,11 +198,13 @@ def _make_body(
                 jax.random.bits(k_cp, (), "uint32"), jnp.int32)
             rest, rest_sum = fused_predict_codes(
                 cp_params, cp_cfg, s.last_hidden.astype(dtype), cb0_embd,
-                seed, temperature=temperature, top_k=top_k)
+                seed, temperature=temperature, top_k=top_k, top_p=top_p,
+                greedy=greedy, use_top_p=use_top_p)
         else:
             rest = cp_model.predict_codes(
                 cp_params, cp_cfg, s.last_hidden.astype(dtype), cb0_embd, k_cp,
-                temperature=temperature, top_k=top_k, top_p=top_p)
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                greedy=greedy, use_top_p=use_top_p)
             rest_sum = None
         frame_codes = jnp.concatenate([cb0[None], rest])
 
@@ -260,14 +271,6 @@ def _make_body(
     return body
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "talker_cfg", "cp_cfg", "max_frames", "kv_capacity",
-        "temperature", "top_k", "top_p", "repetition_penalty", "nothink",
-        "progress_cb", "allow_eos", "fused_cp", "fused_talker",
-    ),
-)
 def generate_from_tokens(
     talker_params,
     cp_params,
@@ -290,8 +293,38 @@ def generate_from_tokens(
     allow_eos: bool = True,
     fused_cp="auto",
     fused_talker="auto",
+    greedy=None,
+    use_top_p=None,
 ) -> GenerateResult:
-    """End-to-end jitted path: prefill-embedding construction + generate."""
+    """End-to-end jitted path: prefill-embedding construction + generate.
+
+    temperature/top_p/repetition_penalty are traced — value changes reuse
+    the compiled program; the static sampler-stage flags are derived here
+    (kernel_prng.sampling_flags)."""
+    greedy, use_top_p = sampling_flags(temperature, top_p, greedy, use_top_p)
+    return _generate_from_tokens_jit(
+        talker_params, cp_params, tokens, n_tokens, speaker_embd, language_id,
+        key, talker_cfg=talker_cfg, cp_cfg=cp_cfg, max_frames=max_frames,
+        kv_capacity=kv_capacity, temperature=temperature, top_k=top_k,
+        top_p=top_p, repetition_penalty=repetition_penalty, nothink=nothink,
+        progress_cb=progress_cb, allow_eos=allow_eos, fused_cp=fused_cp,
+        fused_talker=fused_talker, greedy=greedy, use_top_p=use_top_p)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "talker_cfg", "cp_cfg", "max_frames", "kv_capacity", "top_k",
+        "nothink", "progress_cb", "allow_eos", "fused_cp", "fused_talker",
+        "greedy", "use_top_p",
+    ),
+)
+def _generate_from_tokens_jit(
+    talker_params, cp_params, tokens, n_tokens, speaker_embd, language_id,
+    key, *, talker_cfg, cp_cfg, max_frames, kv_capacity, temperature, top_k,
+    top_p, repetition_penalty, nothink, progress_cb, allow_eos, fused_cp,
+    fused_talker, greedy, use_top_p,
+) -> GenerateResult:
     prefill = talker_model.build_prefill(
         talker_params, talker_cfg, tokens, n_tokens, speaker_embd, language_id,
         nothink=nothink)
@@ -300,18 +333,37 @@ def generate_from_tokens(
         max_frames=max_frames, kv_capacity=kv_capacity,
         temperature=temperature, top_k=top_k, top_p=top_p,
         repetition_penalty=repetition_penalty, progress_cb=progress_cb,
-        allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker)
+        allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker,
+        greedy=greedy, use_top_p=use_top_p)
+
+
+def generate_from_tokens_batched(
+    talker_params, cp_params, tokens, n_tokens, speaker_embd, language_id,
+    keys, *, talker_cfg, cp_cfg, max_frames, kv_capacity, temperature, top_k,
+    top_p=1.0, repetition_penalty=1.05, nothink=False, fused_cp="auto",
+    allow_eos=True, greedy=None, use_top_p=None,
+) -> GenerateResult:
+    """See _generate_from_tokens_batched_jit; this wrapper derives the static
+    sampler-stage flags from python-float params (kernel_prng.sampling_flags)
+    so temperature/top_p value changes never recompile."""
+    greedy, use_top_p = sampling_flags(temperature, top_p, greedy, use_top_p)
+    return _generate_from_tokens_batched_jit(
+        talker_params, cp_params, tokens, n_tokens, speaker_embd, language_id,
+        keys, talker_cfg=talker_cfg, cp_cfg=cp_cfg, max_frames=max_frames,
+        kv_capacity=kv_capacity, temperature=temperature, top_k=top_k,
+        top_p=top_p, repetition_penalty=repetition_penalty, nothink=nothink,
+        fused_cp=fused_cp, allow_eos=allow_eos, greedy=greedy,
+        use_top_p=use_top_p)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "talker_cfg", "cp_cfg", "max_frames", "kv_capacity",
-        "temperature", "top_k", "top_p", "repetition_penalty", "nothink",
-        "fused_cp", "allow_eos",
+        "talker_cfg", "cp_cfg", "max_frames", "kv_capacity", "top_k",
+        "nothink", "fused_cp", "allow_eos", "greedy", "use_top_p",
     ),
 )
-def generate_from_tokens_batched(
+def _generate_from_tokens_batched_jit(
     talker_params,
     cp_params,
     tokens: jnp.ndarray,        # [B, Tb]
@@ -331,6 +383,8 @@ def generate_from_tokens_batched(
     nothink: bool = False,
     fused_cp="auto",
     allow_eos: bool = True,
+    greedy: bool = False,
+    use_top_p: bool = True,
 ) -> GenerateResult:
     """Batched multi-utterance generation (BASELINE.json config #5): vmap over
     the full prefill+frame loop. Under vmap the while_loop runs until every
@@ -346,14 +400,14 @@ def generate_from_tokens_batched(
     # B capped at 64: the per-lane KV caches alone are 7.7 GB at B=128
     # (C=512) and the chip OOMs; past the cap the vmapped path at least
     # shares its buffers with XLA's allocator
-    if (_resolve_fused_cp(fused_cp, cp_params, top_p) and B <= 64):
+    if (_resolve_fused_cp(fused_cp, cp_params) and B <= _CP_KERNEL_MAX_LANES):
         return _generate_batched_fused(
             talker_params, cp_params, tokens, n_tokens, speaker_embd,
             language_id, keys, talker_cfg=talker_cfg, cp_cfg=cp_cfg,
             max_frames=max_frames, kv_capacity=kv_capacity,
-            temperature=temperature, top_k=top_k,
+            temperature=temperature, top_k=top_k, top_p=top_p,
             repetition_penalty=repetition_penalty, nothink=nothink,
-            allow_eos=allow_eos)
+            allow_eos=allow_eos, greedy=greedy, use_top_p=use_top_p)
 
     def one(tokens_i, n_i, spk_i, lang_i, key_i):
         prefill = talker_model.build_prefill(
@@ -363,7 +417,8 @@ def generate_from_tokens_batched(
             max_frames=max_frames, kv_capacity=kv_capacity,
             temperature=temperature, top_k=top_k, top_p=top_p,
             repetition_penalty=repetition_penalty, fused_cp=False,
-            fused_talker=False, allow_eos=allow_eos, kv_strategy="carried")
+            fused_talker=False, allow_eos=allow_eos, kv_strategy="carried",
+            greedy=greedy, use_top_p=use_top_p)
 
     return jax.vmap(one)(tokens, n_tokens, speaker_embd, language_id, keys)
 
@@ -378,20 +433,27 @@ class _BatchedState(NamedTuple):
     frame: jnp.ndarray       # [B]
     codes: jnp.ndarray       # [B, maxF, 16]
     hidden_out: jnp.ndarray  # [B, maxF, H]
-    key: jax.Array
+    keys: jax.Array          # [B] per-lane PRNG keys
     done: jnp.ndarray        # [B]
 
 
 def _generate_batched_fused(
     talker_params, cp_params, tokens, n_tokens, speaker_embd, language_id,
     keys, *, talker_cfg, cp_cfg, max_frames, kv_capacity, temperature, top_k,
-    repetition_penalty, nothink, allow_eos=True,
+    top_p, repetition_penalty, nothink, allow_eos=True, greedy=None,
+    use_top_p=None,
 ) -> GenerateResult:
     """Hand-batched frame loop: per-lane semantics identical to the vmapped
     path (emission masking, latched EOS), but the code predictor runs as ONE
     batched Pallas kernel per frame-set. n_past is a shared scalar because
     the prefill window length is fixed; finished lanes keep stepping (their
-    outputs are masked), matching vmap-of-while_loop cost semantics."""
+    outputs are masked), matching vmap-of-while_loop cost semantics.
+
+    Every lane carries its OWN key chain, split exactly like the
+    single-stream loop (key -> key, k_cb0, k_cp per frame), and the fused cp
+    kernel takes per-lane seeds with lane-decomposable counter-hash noise —
+    so a sampled batched run reproduces single-stream sampled output
+    lane-for-lane given the same keys (VERDICT r1 #8)."""
     from ..ops.pallas_code_predictor_batched import fused_predict_codes_batched
 
     B = tokens.shape[0]
@@ -399,7 +461,7 @@ def _generate_batched_fused(
     Vc = talker_cfg.codec_vocab_size
     suppress_start = Vc - talker_cfg.n_suppressed_tail
     dtype = talker_params.codec_embd.dtype
-    key = keys[0]
+    greedy, use_top_p = sampling_flags(temperature, top_p, greedy, use_top_p)
 
     prefill = jax.vmap(
         lambda t, n, sp, lg: talker_model.build_prefill(
@@ -423,7 +485,7 @@ def _generate_batched_fused(
         frame=jnp.zeros((B,), jnp.int32),
         codes=jnp.zeros((B, max_frames, talker_cfg.n_codebooks), jnp.int32),
         hidden_out=jnp.zeros((B, max_frames, H), dtype),
-        key=key,
+        keys=keys,
         done=jnp.zeros((B,), jnp.bool_),
     )
     rows = jnp.arange(B)
@@ -432,29 +494,25 @@ def _generate_batched_fused(
         eos_for_mask = talker_cfg.codec_eos_id if allow_eos else -1
         l = apply_suppression(s.logits, suppress_start, eos_for_mask)
         l = apply_repetition_penalty(l, s.seen, repetition_penalty)
-        key, k_cb0, k_cp = jax.random.split(s.key, 3)
-        cb0 = sample_token(k_cb0, l, temperature=temperature, top_k=top_k)
+        # per-lane key chains, split exactly like the single-stream body
+        ks = jax.vmap(lambda k: jax.random.split(k, 3))(s.keys)   # [B, 3, ...]
+        keys_next, k_cb0, k_cp = ks[:, 0], ks[:, 1], ks[:, 2]
+        cb0 = jax.vmap(
+            lambda kk, row: sample_token(
+                kk, row, temperature=temperature, top_k=top_k, top_p=top_p,
+                greedy=greedy, use_top_p=use_top_p)
+        )(k_cb0, l)
         done = jnp.logical_or(
             s.done, jnp.logical_and(cb0 == talker_cfg.codec_eos_id, allow_eos))
         emit = ~done
 
         cb0_embd = talker_params.codec_embd[cb0]            # [B, H]
-        seed = lax.bitcast_convert_type(
-            jax.random.bits(k_cp, (), "uint32"), jnp.int32)
-        # the kernel's VMEM budget caps one call at 16 lanes; larger batches
-        # run it in 16-lane chunks (weights re-read once per chunk, still
-        # 15x less than the per-step XLA path)
-        rests, rsums = [], []
-        for c0 in range(0, B, _CP_KERNEL_MAX_LANES):
-            c1 = min(B, c0 + _CP_KERNEL_MAX_LANES)
-            r, rs = fused_predict_codes_batched(
-                cp_params, cp_cfg, s.last_hidden[c0:c1].astype(dtype),
-                cb0_embd[c0:c1], seed + jnp.int32(c0),
-                temperature=temperature, top_k=top_k)
-            rests.append(r)
-            rsums.append(rs)
-        rest = rests[0] if len(rests) == 1 else jnp.concatenate(rests)
-        rest_sum = rsums[0] if len(rsums) == 1 else jnp.concatenate(rsums)
+        seeds = jax.vmap(lambda kk: lax.bitcast_convert_type(
+            jax.random.bits(kk, (), "uint32"), jnp.int32))(k_cp)   # [B]
+        rest, rest_sum = fused_predict_codes_batched(
+            cp_params, cp_cfg, s.last_hidden.astype(dtype), cb0_embd, seeds,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            greedy=greedy, use_top_p=use_top_p)
         frame_codes = jnp.concatenate([cb0[:, None], rest], axis=1)
 
         old_codes = s.codes[rows, s.frame]
@@ -501,7 +559,7 @@ def _generate_batched_fused(
             frame=s.frame + emit.astype(jnp.int32),
             codes=codes,
             hidden_out=hidden_out,
-            key=key,
+            keys=keys_next,
             done=done,
         )
 
@@ -567,16 +625,35 @@ def generate_init(
     return state, prefill
 
 
+def generate_chunk(
+    talker_params, cp_params, prefill, state, *, talker_cfg, cp_cfg,
+    chunk_frames, max_frames, temperature, top_k, top_p=1.0,
+    repetition_penalty=1.05, allow_eos=True, fused_cp="auto",
+    fused_talker="auto", greedy=None, use_top_p=None,
+) -> _LoopState:
+    """Advance the decode loop by up to chunk_frames emitted frames. The
+    state is donated (the KV cache updates in place across chunks); read
+    state.frame/state.done/state.codes between chunks. Sampling params are
+    traced; stage flags derived here (kernel_prng.sampling_flags)."""
+    greedy, use_top_p = sampling_flags(temperature, top_p, greedy, use_top_p)
+    return _generate_chunk_jit(
+        talker_params, cp_params, prefill, state, talker_cfg=talker_cfg,
+        cp_cfg=cp_cfg, chunk_frames=chunk_frames, max_frames=max_frames,
+        temperature=temperature, top_k=top_k, top_p=top_p,
+        repetition_penalty=repetition_penalty, allow_eos=allow_eos,
+        fused_cp=fused_cp, fused_talker=fused_talker, greedy=greedy,
+        use_top_p=use_top_p)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "talker_cfg", "cp_cfg", "chunk_frames", "max_frames",
-        "temperature", "top_k", "top_p", "repetition_penalty", "allow_eos",
-        "fused_cp", "fused_talker",
+        "talker_cfg", "cp_cfg", "chunk_frames", "max_frames", "top_k",
+        "allow_eos", "fused_cp", "fused_talker", "greedy", "use_top_p",
     ),
     donate_argnames=("state",),
 )
-def generate_chunk(
+def _generate_chunk_jit(
     talker_params,
     cp_params,
     prefill: talker_model.PrefillInputs,
@@ -588,20 +665,20 @@ def generate_chunk(
     max_frames: int,
     temperature: float,
     top_k: int,
-    top_p: float = 1.0,
-    repetition_penalty: float = 1.05,
-    allow_eos: bool = True,
-    fused_cp="auto",
-    fused_talker="auto",
+    top_p: float,
+    repetition_penalty: float,
+    allow_eos: bool,
+    fused_cp,
+    fused_talker,
+    greedy: bool,
+    use_top_p: bool,
 ) -> _LoopState:
-    """Advance the decode loop by up to chunk_frames emitted frames. The
-    state is donated (the KV cache updates in place across chunks); read
-    state.frame/state.done/state.codes between chunks."""
     body = _make_body(
         talker_params, cp_params, talker_cfg, cp_cfg, prefill,
         temperature=temperature, top_k=top_k, top_p=top_p,
         repetition_penalty=repetition_penalty, progress_cb=None,
-        allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker)
+        allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker,
+        greedy=greedy, use_top_p=use_top_p)
     target = jnp.minimum(state.frame + chunk_frames, max_frames)
 
     def cond(s: _LoopState):
@@ -610,15 +687,35 @@ def generate_chunk(
     return lax.while_loop(cond, body, state)
 
 
+def generate_start(
+    talker_params, cp_params, tokens, n_tokens, speaker_embd, language_id,
+    key, *, talker_cfg, cp_cfg, chunk_frames, max_frames, kv_capacity,
+    temperature, top_k, top_p=1.0, repetition_penalty=1.05, nothink=False,
+    allow_eos=True, fused_cp="auto", fused_talker="auto", greedy=None,
+    use_top_p=None,
+):
+    """Prefill + the FIRST chunk in one dispatch (time-to-first-audio path).
+    Sampling params traced; stage flags derived here."""
+    greedy, use_top_p = sampling_flags(temperature, top_p, greedy, use_top_p)
+    return _generate_start_jit(
+        talker_params, cp_params, tokens, n_tokens, speaker_embd, language_id,
+        key, talker_cfg=talker_cfg, cp_cfg=cp_cfg, chunk_frames=chunk_frames,
+        max_frames=max_frames, kv_capacity=kv_capacity,
+        temperature=temperature, top_k=top_k, top_p=top_p,
+        repetition_penalty=repetition_penalty, nothink=nothink,
+        allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker,
+        greedy=greedy, use_top_p=use_top_p)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "talker_cfg", "cp_cfg", "chunk_frames", "max_frames", "kv_capacity",
-        "temperature", "top_k", "top_p", "repetition_penalty", "nothink",
-        "allow_eos", "fused_cp", "fused_talker",
+        "top_k", "nothink", "allow_eos", "fused_cp", "fused_talker",
+        "greedy", "use_top_p",
     ),
 )
-def generate_start(
+def _generate_start_jit(
     talker_params,
     cp_params,
     tokens: jnp.ndarray,
@@ -634,12 +731,14 @@ def generate_start(
     kv_capacity: int,
     temperature: float,
     top_k: int,
-    top_p: float = 1.0,
-    repetition_penalty: float = 1.05,
-    nothink: bool = False,
-    allow_eos: bool = True,
-    fused_cp="auto",
-    fused_talker="auto",
+    top_p: float,
+    repetition_penalty: float,
+    nothink: bool,
+    allow_eos: bool,
+    fused_cp,
+    fused_talker,
+    greedy: bool,
+    use_top_p: bool,
 ):
     """Prefill + the FIRST chunk in one dispatch (time-to-first-audio path:
     one device round-trip instead of two before the first vocoder call)."""
@@ -668,7 +767,8 @@ def generate_start(
         talker_params, cp_params, talker_cfg, cp_cfg, prefill,
         temperature=temperature, top_k=top_k, top_p=top_p,
         repetition_penalty=repetition_penalty, progress_cb=None,
-        allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker)
+        allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker,
+        greedy=greedy, use_top_p=use_top_p)
     target = jnp.minimum(jnp.int32(chunk_frames), max_frames)
 
     def cond(s: _LoopState):

@@ -23,18 +23,40 @@ import jax
 import jax.numpy as jnp
 
 from ..models import vocoder as vocoder_model
+from ..ops.kernel_prng import sampling_flags
 from . import decode_loop
+
+
+def generate_and_vocode(
+    talker_params, cp_params, vocoder_params, tokens, n_tokens, speaker_embd,
+    language_id, key, *, talker_cfg, cp_cfg, vocoder_cfg, max_frames,
+    kv_capacity, temperature, top_k, top_p=1.0, repetition_penalty=1.05,
+    nothink=False, allow_eos=True, fused_cp="auto", fused_talker="auto",
+    greedy=None, use_top_p=None,
+):
+    """Returns (audio [max_frames * samples_per_frame] f32, GenerateResult).
+    Valid audio is the first n_frames * samples_per_frame samples. Sampling
+    params are traced; stage flags derived here (kernel_prng.sampling_flags)."""
+    greedy, use_top_p = sampling_flags(temperature, top_p, greedy, use_top_p)
+    return _generate_and_vocode_jit(
+        talker_params, cp_params, vocoder_params, tokens, n_tokens,
+        speaker_embd, language_id, key, talker_cfg=talker_cfg, cp_cfg=cp_cfg,
+        vocoder_cfg=vocoder_cfg, max_frames=max_frames,
+        kv_capacity=kv_capacity, temperature=temperature, top_k=top_k,
+        top_p=top_p, repetition_penalty=repetition_penalty, nothink=nothink,
+        allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker,
+        greedy=greedy, use_top_p=use_top_p)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "talker_cfg", "cp_cfg", "vocoder_cfg", "max_frames", "kv_capacity",
-        "temperature", "top_k", "top_p", "repetition_penalty", "nothink",
-        "allow_eos", "fused_cp", "fused_talker",
+        "top_k", "nothink", "allow_eos", "fused_cp", "fused_talker",
+        "greedy", "use_top_p",
     ),
 )
-def generate_and_vocode(
+def _generate_and_vocode_jit(
     talker_params,
     cp_params,
     vocoder_params,
@@ -51,35 +73,60 @@ def generate_and_vocode(
     kv_capacity: int,
     temperature: float,
     top_k: int,
-    top_p: float = 1.0,
-    repetition_penalty: float = 1.05,
-    nothink: bool = False,
-    allow_eos: bool = True,
-    fused_cp="auto",
-    fused_talker="auto",
+    top_p: float,
+    repetition_penalty: float,
+    nothink: bool,
+    allow_eos: bool,
+    fused_cp,
+    fused_talker,
+    greedy: bool,
+    use_top_p: bool,
 ):
-    """Returns (audio [max_frames * samples_per_frame] f32, GenerateResult).
-    Valid audio is the first n_frames * samples_per_frame samples."""
     gen = decode_loop.generate_from_tokens(
         talker_params, cp_params, tokens, n_tokens, speaker_embd, language_id,
         key, talker_cfg=talker_cfg, cp_cfg=cp_cfg, max_frames=max_frames,
         kv_capacity=kv_capacity, temperature=temperature, top_k=top_k,
         top_p=top_p, repetition_penalty=repetition_penalty, nothink=nothink,
-        allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker)
+        allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker,
+        greedy=greedy, use_top_p=use_top_p)
     audio = vocoder_model.vocoder_forward(
         vocoder_params, vocoder_cfg, gen.codes, gen.n_frames)
     return audio, gen
+
+
+def start_and_vocode(
+    talker_params, cp_params, vocoder_params, tokens, n_tokens, speaker_embd,
+    language_id, key, *, talker_cfg, cp_cfg, vocoder_cfg, chunk_frames,
+    max_frames, kv_capacity, temperature, top_k, top_p=1.0,
+    repetition_penalty=1.05, nothink=False, allow_eos=True, fused_cp="auto",
+    fused_talker="auto", greedy=None, use_top_p=None,
+):
+    """Time-to-first-audio path, one dispatch: prefill + the first
+    chunk_frames of generation + vocoder over that chunk. Returns
+    (audio [chunk_frames * samples_per_frame] f32, state, prefill); continue
+    with decode_loop.generate_chunk + the streaming vocoder. Sampling params
+    are traced; stage flags derived here."""
+    greedy, use_top_p = sampling_flags(temperature, top_p, greedy, use_top_p)
+    return _start_and_vocode_jit(
+        talker_params, cp_params, vocoder_params, tokens, n_tokens,
+        speaker_embd, language_id, key, talker_cfg=talker_cfg, cp_cfg=cp_cfg,
+        vocoder_cfg=vocoder_cfg, chunk_frames=chunk_frames,
+        max_frames=max_frames, kv_capacity=kv_capacity,
+        temperature=temperature, top_k=top_k, top_p=top_p,
+        repetition_penalty=repetition_penalty, nothink=nothink,
+        allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker,
+        greedy=greedy, use_top_p=use_top_p)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "talker_cfg", "cp_cfg", "vocoder_cfg", "chunk_frames", "max_frames",
-        "kv_capacity", "temperature", "top_k", "top_p", "repetition_penalty",
-        "nothink", "allow_eos", "fused_cp", "fused_talker",
+        "kv_capacity", "top_k", "nothink", "allow_eos", "fused_cp",
+        "fused_talker", "greedy", "use_top_p",
     ),
 )
-def start_and_vocode(
+def _start_and_vocode_jit(
     talker_params,
     cp_params,
     vocoder_params,
@@ -97,24 +144,23 @@ def start_and_vocode(
     kv_capacity: int,
     temperature: float,
     top_k: int,
-    top_p: float = 1.0,
-    repetition_penalty: float = 1.05,
-    nothink: bool = False,
-    allow_eos: bool = True,
-    fused_cp="auto",
-    fused_talker="auto",
+    top_p: float,
+    repetition_penalty: float,
+    nothink: bool,
+    allow_eos: bool,
+    fused_cp,
+    fused_talker,
+    greedy: bool,
+    use_top_p: bool,
 ):
-    """Time-to-first-audio path, one dispatch: prefill + the first
-    chunk_frames of generation + vocoder over that chunk. Returns
-    (audio [chunk_frames * samples_per_frame] f32, state, prefill); continue
-    with decode_loop.generate_chunk + the streaming vocoder."""
     state, prefill = decode_loop.generate_start(
         talker_params, cp_params, tokens, n_tokens, speaker_embd, language_id,
         key, talker_cfg=talker_cfg, cp_cfg=cp_cfg, chunk_frames=chunk_frames,
         max_frames=max_frames, kv_capacity=kv_capacity,
         temperature=temperature, top_k=top_k, top_p=top_p,
         repetition_penalty=repetition_penalty, nothink=nothink,
-        allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker)
+        allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker,
+        greedy=greedy, use_top_p=use_top_p)
     audio = vocoder_model.vocoder_forward(
         vocoder_params, vocoder_cfg, state.codes[:chunk_frames],
         jnp.minimum(state.frame, chunk_frames))

@@ -433,3 +433,37 @@ def speaker_encoder_ref(p, cfg, mel):
     wstd = np.sqrt(wvar)
     pooled = np.concatenate([wmean, wstd])
     return pooled @ f64(p.fc_w)[0] + f64(p.fc_b)
+
+
+# ---------------------------------------------------------------------------
+# on-kernel sampling noise (mirror of qwen3tts_tpu/ops/kernel_prng.py)
+# ---------------------------------------------------------------------------
+
+def gumbel_noise_ref(seed, step, shape):
+    """uint32 NumPy mirror of ops/kernel_prng.gumbel_noise: same integer hash
+    bit-for-bit (int32 wraparound == uint32 arithmetic), gumbel transform in
+    float64 (the kernel uses f32 — agree to f32 precision, not bitwise).
+
+    seed: int scalar or array broadcastable over rows; step: int.
+    """
+    GOLDEN = np.uint32(0x9E3779B9)
+    M1 = np.uint32(0x85EBCA6B)
+    M2 = np.uint32(0xC2B2AE35)
+
+    def mix(x):
+        x = x ^ (x >> np.uint32(16))
+        x = (x * M1).astype(np.uint32)
+        x = x ^ (x >> np.uint32(13))
+        x = (x * M2).astype(np.uint32)
+        return (x ^ (x >> np.uint32(16))).astype(np.uint32)
+
+    v = np.broadcast_to(
+        np.arange(shape[-1], dtype=np.uint32), shape).astype(np.uint32)
+    seed_u = (np.asarray(seed, np.int64) & 0xFFFFFFFF).astype(np.uint32)
+    with np.errstate(over="ignore"):   # uint32 wraparound is the point
+        base = (seed_u
+                + np.uint32(step & 0xFFFFFFFF) * GOLDEN).astype(np.uint32)
+        x = mix((mix((v + base * M1).astype(np.uint32))
+                 ^ base).astype(np.uint32))
+    u = (x >> np.uint32(8)).astype(np.float64) * (1.0 / (1 << 24)) + 1e-12
+    return -np.log(-np.log(u))

@@ -76,12 +76,9 @@ def test_w8a8_valid_and_deterministic(setup):
 
 
 def test_sampled_mode(setup):
-    """Sampled path traces and stays in-range/deterministic per seed.
-
-    NB: the TPU interpreter stubs prng_random_bits to zeros, so
-    seed-sensitivity (different seeds -> different draws) can only be
-    observed on real hardware; tools/smoke_fused_cp.py covers it there.
-    """
+    """Sampled path: deterministic per seed AND seed-sensitive — the
+    counter-hash noise (ops/kernel_prng.py) computes real draws in interpret
+    mode, unlike the old hardware PRNG whose interpreter stub was zeros."""
     cfg, qparams, deq, th, cb0 = setup
     codes_a, _ = fused_predict_codes(
         qparams, cfg, th, cb0, jnp.int32(1234),
@@ -89,9 +86,44 @@ def test_sampled_mode(setup):
     codes_b, _ = fused_predict_codes(
         qparams, cfg, th, cb0, jnp.int32(1234),
         temperature=0.9, top_k=50, mode="dequant", interpret=True)
-    a, b = map(np.asarray, (codes_a, codes_b))
+    codes_c, _ = fused_predict_codes(
+        qparams, cfg, th, cb0, jnp.int32(77),
+        temperature=0.9, top_k=50, mode="dequant", interpret=True)
+    a, b, c = map(np.asarray, (codes_a, codes_b, codes_c))
     assert (a >= 0).all() and (a < cfg.vocab_size).all()
     np.testing.assert_array_equal(a, b)          # same seed -> same draw
+    assert (a != c).any(), "different seeds must give different draws"
+
+
+def test_sampled_tiny_top_p_collapses_to_greedy(setup):
+    """top_p below the max prob leaves only the argmax in the nucleus, so
+    sampling at any temperature must reproduce greedy codes (on-kernel
+    nucleus filtering, traced top_p)."""
+    cfg, qparams, deq, th, cb0 = setup
+    greedy, _ = fused_predict_codes(
+        qparams, cfg, th, cb0, jnp.int32(0),
+        temperature=0.0, top_k=0, mode="dequant", interpret=True)
+    nucleus1, _ = fused_predict_codes(
+        qparams, cfg, th, cb0, jnp.int32(99),
+        temperature=0.9, top_k=0, top_p=1e-6, mode="dequant", interpret=True)
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(nucleus1))
+
+
+def test_dynamic_params_no_recompile(setup):
+    """temperature/top_p are traced: changing their VALUES between calls must
+    reuse the same compiled program (VERDICT r1 #5); the static stage flags
+    (greedy / top-p on-off) partition programs into at most 4 classes."""
+    from qwen3tts_tpu.ops.pallas_code_predictor import _fused_predict_codes_jit
+
+    cfg, qparams, deq, th, cb0 = setup
+    fused_predict_codes(qparams, cfg, th, cb0, jnp.int32(1),
+                        temperature=0.7, top_k=50, top_p=0.9,
+                        mode="dequant", interpret=True)
+    n0 = _fused_predict_codes_jit._cache_size()
+    fused_predict_codes(qparams, cfg, th, cb0, jnp.int32(1),
+                        temperature=1.3, top_k=50, top_p=0.5,
+                        mode="dequant", interpret=True)
+    assert _fused_predict_codes_jit._cache_size() == n0
 
 
 def test_topk_restricts_support(setup):

@@ -33,7 +33,7 @@ def setup():
 def test_batched_greedy_matches_single_lane(setup):
     cfg, qparams, th, cb0 = setup
     codes_b, sum_b = fused_predict_codes_batched(
-        qparams, cfg, th, cb0, jnp.int32(0),
+        qparams, cfg, th, cb0, jnp.zeros((B,), jnp.int32),
         temperature=0.0, top_k=0, mode="dequant", interpret=True)
     assert codes_b.shape == (B, cfg.n_steps)
     for b in range(B):
@@ -46,10 +46,34 @@ def test_batched_greedy_matches_single_lane(setup):
             np.asarray(sum_b[b]), np.asarray(sum_1), rtol=1e-4, atol=1e-4)
 
 
+def test_batched_sampled_matches_single_lane_per_seed(setup):
+    """SAMPLED lane parity (VERDICT r1 #8): lane b of a batched run with
+    per-lane seeds must equal the single-stream kernel with seed seeds[b] —
+    the counter-hash noise is lane-decomposable by construction."""
+    cfg, qparams, th, cb0 = setup
+    seeds = jnp.asarray([17, -1234567, 900001], jnp.int32)
+    codes_b, _ = fused_predict_codes_batched(
+        qparams, cfg, th, cb0, seeds,
+        temperature=0.9, top_k=50, top_p=0.95, mode="dequant", interpret=True)
+    for b in range(B):
+        codes_1, _ = fused_predict_codes(
+            qparams, cfg, th[b], cb0[b], seeds[b],
+            temperature=0.9, top_k=50, top_p=0.95, mode="dequant",
+            interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(codes_b[b]), np.asarray(codes_1), err_msg=f"lane {b}")
+    # and distinct seeds actually decorrelate lanes with identical inputs
+    same_in = fused_predict_codes_batched(
+        qparams, cfg, jnp.broadcast_to(th[0], th.shape),
+        jnp.broadcast_to(cb0[0], cb0.shape), seeds,
+        temperature=0.9, top_k=50, mode="dequant", interpret=True)[0]
+    assert (np.asarray(same_in[0]) != np.asarray(same_in[1])).any()
+
+
 def test_batched_rest_sum_consistency(setup):
     cfg, qparams, th, cb0 = setup
     codes, rest_sum = fused_predict_codes_batched(
-        qparams, cfg, th, cb0, jnp.int32(0),
+        qparams, cfg, th, cb0, jnp.zeros((B,), jnp.int32),
         temperature=0.0, top_k=0, mode="dequant", interpret=True)
     expect = jnp.sum(
         qparams.embds[jnp.arange(cfg.n_steps)[None, :], codes].astype(jnp.float32),
@@ -61,7 +85,7 @@ def test_batched_rest_sum_consistency(setup):
 def test_batched_w8a8_valid(setup):
     cfg, qparams, th, cb0 = setup
     codes, _ = fused_predict_codes_batched(
-        qparams, cfg, th, cb0, jnp.int32(5),
+        qparams, cfg, th, cb0, jnp.full((B,), 5, jnp.int32),
         temperature=0.9, top_k=50, mode="w8a8", interpret=True)
     c = np.asarray(codes)
     assert c.shape == (B, cfg.n_steps)
@@ -97,13 +121,58 @@ def test_hand_batched_loop_matches_single_stream_greedy():
     batched = decode_loop._generate_batched_fused(
         tpq, cpq, jnp.asarray(tokens), n_tok, spk, lang, keys,
         talker_cfg=tcfg, cp_cfg=ccfg, max_frames=maxF, kv_capacity=KV,
-        temperature=0.0, top_k=0, repetition_penalty=1.05, nothink=False)
+        temperature=0.0, top_k=0, top_p=1.0, repetition_penalty=1.05,
+        nothink=False)
 
     for b in range(Bn):
         single = decode_loop.generate_from_tokens(
             tpq, cpq, jnp.asarray(tokens[b]), n_tok[b], spk[b], lang[b],
             keys[b], talker_cfg=tcfg, cp_cfg=ccfg, max_frames=maxF,
             kv_capacity=KV, temperature=0.0, top_k=0,
+            repetition_penalty=1.05, fused_cp=True, fused_talker=False)
+        assert int(batched.n_frames[b]) == int(single.n_frames)
+        np.testing.assert_array_equal(
+            np.asarray(batched.codes[b]), np.asarray(single.codes),
+            err_msg=f"lane {b}")
+
+
+def test_hand_batched_loop_matches_single_stream_sampled():
+    """SAMPLED serving parity (VERDICT r1 #8): with per-lane key chains and
+    per-lane cp-kernel seeds, lane b of a temperature>0 batched run equals
+    the single-stream run with keys[b] — codes AND frame counts."""
+    import numpy as np
+    from qwen3tts_tpu.runtime import decode_loop
+
+    cfg = tiny_pipeline_config()
+    tcfg, ccfg = cfg.talker, cfg.code_predictor
+    from qwen3tts_tpu.models import talker as talker_model
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    tp = talker_model.init_talker_params(k1, tcfg, jnp.float32)
+    cp = cp_model.init_code_predictor_params(k2, ccfg, jnp.float32)
+    from qwen3tts_tpu.ops.quant import quantize_block_params
+    tpq = tp._replace(blocks=quantize_block_params(tp.blocks))
+    cpq = cp._replace(blocks=quantize_block_params(cp.blocks))
+
+    Bn, Tb, maxF, KV = 2, 16, 4, 32
+    rng = np.random.default_rng(1)
+    tokens = np.zeros((Bn, Tb), np.int32)
+    tokens[:, :12] = rng.integers(2, 400, size=(Bn, 12))
+    n_tok = jnp.full((Bn,), 12, jnp.int32)
+    spk = jnp.zeros((Bn, tcfg.hidden_size), jnp.float32)
+    lang = jnp.full((Bn,), 2050, jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(42), Bn)
+
+    batched = decode_loop._generate_batched_fused(
+        tpq, cpq, jnp.asarray(tokens), n_tok, spk, lang, keys,
+        talker_cfg=tcfg, cp_cfg=ccfg, max_frames=maxF, kv_capacity=KV,
+        temperature=0.8, top_k=50, top_p=0.95, repetition_penalty=1.05,
+        nothink=False)
+
+    for b in range(Bn):
+        single = decode_loop.generate_from_tokens(
+            tpq, cpq, jnp.asarray(tokens[b]), n_tok[b], spk[b], lang[b],
+            keys[b], talker_cfg=tcfg, cp_cfg=ccfg, max_frames=maxF,
+            kv_capacity=KV, temperature=0.8, top_k=50, top_p=0.95,
             repetition_penalty=1.05, fused_cp=True, fused_talker=False)
         assert int(batched.n_frames[b]) == int(single.n_frames)
         np.testing.assert_array_equal(

@@ -81,14 +81,61 @@ def test_w4_roundtrip_error_bound():
     w = jnp.asarray(rng.normal(size=(3, 64, 48)), jnp.float32)
     qw = quant.quantize_w4(w)
     assert qw.q.shape == (3, 32, 48) and qw.q.dtype == jnp.int8
-    assert qw.scale.shape == (3, 2, 48)
+    assert qw.scale.shape == (3, 2, 48) and qw.zero.shape == (3, 2, 48)
     back = np.asarray(quant.dequantize4(qw))
     wn = np.asarray(w)
-    # per-half-per-channel bound: |err| <= half_amax / 7 / 2 (nearest rounding)
+    # affine per-group bound: |err| <= (max-min)/15 / 2 (nearest rounding)
     for h, sl in enumerate((slice(0, 32), slice(32, 64))):
-        amax = np.abs(wn[:, sl]).max(axis=1, keepdims=True)
-        err = np.abs(back[:, sl] - wn[:, sl])
-        assert (err <= amax / 7.0 * 0.5 + 1e-6).all()
+        g = wn[:, sl]
+        rng_g = (np.maximum(g.max(axis=1, keepdims=True), 0.0)
+                 - np.minimum(g.min(axis=1, keepdims=True), 0.0))
+        err = np.abs(back[:, sl] - g)
+        assert (err <= rng_g / 15.0 * 0.5 + 1e-6).all()
+
+
+def test_w4_multigroup_roundtrip_error_bound():
+    """K=128 with 32-wide groups -> 4 scale groups; the error bound holds
+    PER GROUP (this is what the old 2-group split-half format could not do)."""
+    rng = np.random.default_rng(7)
+    w = np.asarray(rng.normal(size=(128, 48)), np.float32)
+    # inject per-region outliers: group-wise scales localize their damage
+    w[3, :] *= 40.0
+    w[100, :] *= 25.0
+    qw = quant.quantize_w4(jnp.asarray(w))
+    assert qw.q.shape == (64, 48) and qw.scale.shape == (4, 48)
+    back = np.asarray(quant.dequantize4(qw))
+    for g in range(4):
+        sl = slice(g * 32, (g + 1) * 32)
+        gv = w[sl]
+        rng_g = (np.maximum(gv.max(axis=0, keepdims=True), 0.0)
+                 - np.minimum(gv.min(axis=0, keepdims=True), 0.0))
+        err = np.abs(back[sl] - gv)
+        assert (err <= rng_g / 15.0 * 0.5 + 1e-6).all(), f"group {g}"
+
+
+def test_w4_group_scales_beat_half_scales():
+    """With outlier rows, 32-wide groups must reconstruct much better than
+    the K/2-halves quantization (the r1 q4 tier's 0.81-cosine failure mode)."""
+    rng = np.random.default_rng(8)
+    w = np.asarray(rng.normal(size=(256, 64)), np.float32)
+    w[5, :] *= 30.0     # one outlier row per half: both K/2-half scales blow
+    w[200, :] *= 30.0   # up, but only 2 of the 8 32-wide groups do
+    qw_g = quant.quantize_w4(jnp.asarray(w))                    # gs=32
+    qw_h = quant.quantize_w4(jnp.asarray(w), group_size=128)    # halves
+    err_g = np.abs(np.asarray(quant.dequantize4(qw_g)) - w).mean()
+    err_h = np.abs(np.asarray(quant.dequantize4(qw_h)) - w).mean()
+    assert err_g < 0.5 * err_h, (err_g, err_h)
+
+
+def test_w4_matmul_multigroup_matches_dequantized():
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(3, 128)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(128, 64)), jnp.float32)
+    qw = quant.quantize_w4(w)
+    assert qw.scale.shape == (4, 64)
+    got = quant.matmul(x, qw)
+    want = x @ quant.dequantize4(qw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
 def test_w4_matmul_matches_dequantized():

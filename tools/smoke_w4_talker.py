@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""TPU smoke + micro-bench for the w4a8 fused talker kernel.
+"""TPU smoke + micro-bench for the w4 fused talker kernel (bf16-dequant group scales).
 
 Validates the 4-bit path against the XLA w4a16 step at the real 0.6B
 configuration, then times chained 64-step decodes: int8 v1 vs w4 v1 at
@@ -55,7 +55,7 @@ def main() -> None:
     jax.block_until_ready((q8.wqkv.q, q4.wqkv.q))
     ccfg = talker_model.core_config(cfg)
 
-    # --- correctness: w4a8 kernel vs XLA step on the same w4 weights ---
+    # --- correctness: w4 kernel vs XLA step on the same w4 weights ---
     C = 512
     kv = jnp.zeros((cfg.n_layers, 2, cfg.n_kv_heads, C, cfg.head_dim), jnp.bfloat16)
     n_hist = 17
@@ -73,7 +73,7 @@ def main() -> None:
     cos = float((hk_n * hx_n).sum()
                 / (np.linalg.norm(hk_n) * np.linalg.norm(hx_n) + 1e-9))
     kv_err = np.abs(np.asarray(kvk, np.float32) - np.asarray(kvx, np.float32)).max()
-    print(f"w4a8 hidden cosine vs XLA(w4a16): {cos:.6f}  kv max err: {kv_err:.4f}")
+    print(f"w4 hidden cosine vs XLA: {cos:.6f}  kv max err: {kv_err:.4f}")
     assert cos > 0.99 and np.isfinite(hk_n).all()
 
     N = args.steps
