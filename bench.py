@@ -107,6 +107,8 @@ def main() -> None:
         from qwen3tts_tpu.ops.pallas_talker_step import (
             fused_talker_step, fused_talker_step_batched, fused_talker_step_hbm)
 
+        from qwen3tts_tpu.ops.kv_quant import quantize_kv as _qkv
+
         x1 = jnp.zeros((tcfg.hidden_size,), jnp.bfloat16)
         kv1 = jnp.zeros((tcfg.n_layers, 2, tcfg.n_kv_heads, KV, tcfg.head_dim),
                         jnp.bfloat16)
@@ -123,6 +125,15 @@ def main() -> None:
                 jnp.int32(3),
                 jnp.zeros((Bs, tcfg.n_layers, 2, tcfg.n_kv_heads, 512,
                            tcfg.head_dim), jnp.bfloat16),
+                output_norm=tp.output_norm, codec_head=tp.codec_head)[0]),
+            ("talker_v2_hbm_int8kv", lambda: fused_talker_step_hbm(
+                tp.blocks, tcfg, x1, jnp.int32(3), _qkv(kv1),
+                output_norm=tp.output_norm, codec_head=tp.codec_head)[0]),
+            ("talker_v3_batched_int8kv", lambda: fused_talker_step_batched(
+                tp.blocks, tcfg, jnp.zeros((Bs, tcfg.hidden_size), jnp.bfloat16),
+                jnp.int32(3),
+                _qkv(jnp.zeros((Bs, tcfg.n_layers, 2, tcfg.n_kv_heads, 512,
+                                tcfg.head_dim), jnp.bfloat16)),
                 output_norm=tp.output_norm, codec_head=tp.codec_head)[0]),
             ("cp_fused", lambda: fused_predict_codes(
                 cp, ccfg, x1, x1, jnp.int32(0),

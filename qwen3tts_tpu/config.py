@@ -210,6 +210,12 @@ class RuntimeConfig:
     # the full frame bucket, so it suits tight max-token budgets / serving;
     # the default split path vocodes a bucket sized to the ACTUAL frame count.
     fused_dispatch: bool = False
+    # KV-cache storage: "none" (cache at compute dtype) | "int8" (per-row
+    # quantized: halves the cache footprint and slab DMA of the fused HBM
+    # talker kernels — a MEMORY tier; the per-element int8 dequant cast
+    # currently offsets the DMA speedup, see pipeline.resolve_kv_quant) |
+    # "auto" (policy in resolve_kv_quant). Env override: QWEN3TTS_KV_INT8=1/0.
+    kv_quant: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -56,22 +56,28 @@ def conv1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None, *,
            dilation: int = 1, groups: int = 1, causal: bool = True) -> jnp.ndarray:
     """1-D conv on [T, C] with causal left padding of dilation*(K-1).
 
-    Dense (groups=1) convs are computed as ONE MXU matmul over K shifted
-    views: y[t] = sum_k xp[t + d*k] @ w[k] with xp the padded input, i.e.
-    concat_k(xp[d*k : d*k + T]) @ w.reshape(K*In, Out). Grouped (depthwise)
-    convs keep the lax.conv path."""
+    Dense (groups=1) convs are computed as K accumulated MXU matmuls over
+    shifted views: y[t] = sum_k xp[t + d*k] @ w[k] with xp the padded input.
+    (An earlier concat form — concat_k(shifted views) @ w.reshape(K*In, Out) —
+    measured the same single-stream but materialized a [B, T, K*In] tensor
+    under vmap: 28 GB at B=64/block-3 shapes. The tap-sum keeps the peak at
+    one f32 [.., T, Out] accumulator and vmaps into K clean batched matmuls.)
+    Grouped (depthwise) convs keep the lax.conv path."""
     K = w.shape[0]
     pad = dilation * (K - 1)
     if groups == 1 and _conv_mm_enabled():
         T = x.shape[0]
         lpad, rpad = (pad, 0) if causal else (pad // 2, pad - pad // 2)
         xp = jnp.pad(x, ((lpad, rpad), (0, 0)))
-        x_cat = jnp.concatenate(
-            [xp[dilation * k: dilation * k + T] for k in range(K)], axis=-1)
-        y = jax.lax.dot_general(
-            x_cat, w.reshape(K * w.shape[1], w.shape[2]),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(x.dtype)
+        acc = jax.lax.dot_general(
+            xp[:T], w[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for k in range(1, K):
+            acc = acc + jax.lax.dot_general(
+                xp[dilation * k: dilation * k + T], w[k],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        y = acc.astype(x.dtype)
     else:
         padding = [(pad, 0)] if causal else [(pad // 2, pad - pad // 2)]
         y = lax.conv_general_dilated(
@@ -98,11 +104,12 @@ def conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None, *,
       - trim="symmetric": split across both sides (C++ reference variant)
 
     When K divides into stride taps (K = J*stride — true for every vocoder
-    convT: K=2r at stride r, K=2 at stride 2), the op is ONE MXU matmul:
-    phase algebra gives y[q*s + p] = sum_j w[K-1-p-j*s] @ x[q-j], so
-    concat_j(shift(x, j)) @ W2 with W2[j*In + i, p*Out + o] = w[K-1-p-j*s, i, o]
+    convT: K=2r at stride r, K=2 at stride 2), the op is J accumulated MXU
+    matmuls: phase algebra gives y[q*s + p] = sum_j w[K-1-p-j*s] @ x[q-j], so
+    sum_j shift(x, j) @ W2[j] with W2[j][i, p*Out + o] = w[K-1-p-j*s, i, o]
     computes all s phases at once and the [T, s*Out] -> [T*s, Out] reshape is
-    the interleave."""
+    the interleave. (Tap-sum rather than concat_j(...) @ W2 for the same
+    vmap-materialization reason as conv1d.)"""
     K = w.shape[0]
     s = stride
     cut = K - s
@@ -112,13 +119,17 @@ def conv_transpose1d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None, *,
         J = K // s
         # W2: flip K, group [J, s], move phase axis next to cout
         w2 = (w[::-1].reshape(J, s, cin, cout)
-              .transpose(0, 2, 1, 3).reshape(J * cin, s * cout))
-        x_cat = jnp.concatenate(
-            [jnp.pad(x, ((j, 0), (0, 0)))[:T] for j in range(J)], axis=-1)
-        y = jax.lax.dot_general(
-            x_cat, w2, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(x.dtype)
-        y = y.reshape(T * s, cout)
+              .transpose(0, 2, 1, 3).reshape(J, cin, s * cout))
+        xp = jnp.pad(x, ((J - 1, 0), (0, 0)))
+        acc = jax.lax.dot_general(
+            xp[J - 1:], w2[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for j in range(1, J):
+            acc = acc + jax.lax.dot_general(
+                xp[J - 1 - j: xp.shape[0] - j], w2[j],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        y = acc.astype(x.dtype).reshape(T * s, cout)
         # raw convT output is length T*s + cut; rows [T*s, T*s+cut) only
         # receive taps k >= s of x[T-1] and are trimmed under both modes
         if trim == "causal":

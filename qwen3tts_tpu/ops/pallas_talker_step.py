@@ -392,7 +392,21 @@ def fused_talker_step(
 _DEFAULT_KV_CHUNK = 256
 
 
-def _make_kernel_hbm(cfg, C, *, mode, kv_dtype, lps, with_head, chunk):
+def _int8_chunk(C: int, chunk: int) -> int:
+    """Chunk size for int8-KV DMA: the per-row scale slab slices its C axis
+    as the LANE (minor) dim, so chunks must be multiples of 128 on hardware
+    (CLAUDE.md DMA rule). Tiny test capacities (<128, interpret-only) fall
+    back to plain divisors."""
+    chunk = max(chunk, 128)
+    while C % chunk != 0 or (C >= 128 and chunk % 128 != 0):
+        chunk -= 1
+        if chunk == 0:
+            return C
+    return chunk
+
+
+def _make_kernel_hbm(cfg, C, *, mode, kv_dtype, lps, with_head, chunk,
+                     kv_int8=False):
     H = cfg.hidden_size
     L = cfg.n_layers
     Hq, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -401,18 +415,27 @@ def _make_kernel_hbm(cfg, C, *, mode, kv_dtype, lps, with_head, chunk):
     eps = cfg.rms_norm_eps
     scale = D ** -0.5
     mm = _make_mm(mode)
+    # int8 cache: slabs stay int8 on the MXU input side (cast to bf16 — int8
+    # magnitudes are exact in bf16); K's row scales multiply the [G, chunk]
+    # score matrix and V's fold into p, so dequant never touches [chunk, D]
+    cdt = jnp.bfloat16 if kv_int8 else kv_dtype
 
     def kernel(n_past_ref, x_in_ref, cos_ref, sin_ref,
                attn_n_ref, q_n_ref, k_n_ref, ffn_n_ref,
                wqkv_q, wqkv_s, wo_q, wo_s, wgu_q, wgu_s, wd_q, wd_s,
                *rest):
+        rest = list(rest)
         if with_head:
-            (out_n_ref, head_ref, kv_hbm,
-             kvrow_ref, hid_ref, logits_ref,
-             x_ref, sc_heads, sc_flat, kv_buf, sem) = rest
-        else:
-            (kv_hbm, kvrow_ref, hid_ref,
-             x_ref, sc_heads, sc_flat, kv_buf, sem) = rest
+            out_n_ref, head_ref = rest[0], rest[1]
+            del rest[:2]
+        kv_hbm = rest.pop(0)
+        kvs_hbm = rest.pop(0) if kv_int8 else None
+        kvrow_ref = rest.pop(0)
+        hid_ref = rest.pop(0)
+        logits_ref = rest.pop(0) if with_head else None
+        x_ref, sc_heads, sc_flat, kv_buf, sem = rest[:5]
+        if kv_int8:
+            sc_buf, sem_s = rest[5], rest[6]
 
         g = pl.program_id(0)
         n_past = n_past_ref[0, 0]
@@ -451,19 +474,44 @@ def _make_kernel_hbm(cfg, C, *, mode, kv_dtype, lps, with_head, chunk):
 
             # match the v1/XLA numerics: q and the cached K/V interact at the
             # cache dtype (the current row goes through the same cast)
-            qc = q.astype(kv_dtype)
-            kc = k.astype(kv_dtype)
-            vc = v.astype(kv_dtype)
+            qc = q.astype(cdt)
+            kc = k.astype(cdt)
+            vc = v.astype(cdt)
+
+            if kv_int8:
+                # s8xs8 MXU attention: quantize q per row so the score dot
+                # consumes the int8 K slab NATIVELY — a per-element
+                # int8->float cast of the slab costs a (32,128)->(8,128)
+                # sublane relayout (~4-8 VPU ops/element) that was measured
+                # to eat the entire DMA saving; the s8 dot pays none, and
+                # both row scales fold into the [G, chunk] score matrix.
+                q_amax = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
+                q_scale = jnp.maximum(q_amax, 1e-8) * (1.0 / 127.0)  # [Hq,1]
+                q_s8 = jnp.clip(jnp.round(q / q_scale),
+                                -127.0, 127.0).astype(jnp.int8)
 
             def dma(c, slot):
                 off = pl.multiple_of(c * chunk, chunk)
-                return pltpu.make_async_copy(
+                cps = [pltpu.make_async_copy(
                     kv_hbm.at[l, :, :, pl.ds(off, chunk), :],
-                    kv_buf.at[slot], sem.at[slot])
+                    kv_buf.at[slot], sem.at[slot])]
+                if kv_int8:
+                    cps.append(pltpu.make_async_copy(
+                        kvs_hbm.at[l, :, :, pl.ds(off, chunk)],
+                        sc_buf.at[slot], sem_s.at[slot]))
+                return cps
+
+            def dma_start(c, slot):
+                for cp in dma(c, slot):
+                    cp.start()
+
+            def dma_wait(c, slot):
+                for cp in dma(c, slot):
+                    cp.wait()
 
             @pl.when(trip > 0)
             def _():
-                dma(jnp.int32(0), jnp.int32(0)).start()
+                dma_start(jnp.int32(0), jnp.int32(0))
 
             # flash state stacked [Hkv, G, *]: per-head updates rebuild the
             # stack by concatenation on the untiled leading axis (Mosaic has
@@ -474,19 +522,28 @@ def _make_kernel_hbm(cfg, C, *, mode, kv_dtype, lps, with_head, chunk):
 
                 @pl.when(c + 1 < trip)
                 def _():
-                    dma(c + 1, 1 - slot).start()
+                    dma_start(c + 1, 1 - slot)
 
-                dma(c, slot).wait()
+                dma_wait(c, slot)
                 col = c * chunk + lax.broadcasted_iota(
                     jnp.int32, (G, chunk), 1)
                 valid = col < n_past
                 ms, ls, accs = [], [], []
                 for hh in range(Hkv):
                     rows = slice(hh * G, (hh + 1) * G)
-                    s = jax.lax.dot_general(
-                        qc[rows], kv_buf[slot, 0, hh],
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32) * scale
+                    if kv_int8:
+                        # i32 score at s8 MXU rate; dequant on [G, chunk]
+                        s = jax.lax.dot_general(
+                            q_s8[rows], kv_buf[slot, 0, hh],
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32
+                        ).astype(jnp.float32) * (scale * q_scale[rows])
+                        s = s * sc_buf[slot, 0, hh:hh + 1]   # [G,ch]*[1,ch]
+                    else:
+                        s = jax.lax.dot_general(
+                            qc[rows], kv_buf[slot, 0, hh],
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
                     s = jnp.where(valid, s, NEG_INF)
                     m_new = jnp.maximum(
                         m[hh], jnp.max(s, axis=-1, keepdims=True))
@@ -494,10 +551,26 @@ def _make_kernel_hbm(cfg, C, *, mode, kv_dtype, lps, with_head, chunk):
                     alpha = jnp.exp(m[hh] - m_new)
                     ls.append((alpha * lsum[hh]
                                + jnp.sum(p, axis=-1, keepdims=True))[None])
-                    accs.append((acc[hh] * alpha + jax.lax.dot_general(
-                        p.astype(kv_dtype), kv_buf[slot, 1, hh],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32))[None])
+                    if kv_int8:
+                        # fold V's row scales into p, then re-quantize p so
+                        # the V dot also consumes the s8 slab natively (p is
+                        # non-negative: scale by the row max)
+                        pv = p * sc_buf[slot, 1, hh:hh + 1]
+                        p_amax = jnp.maximum(
+                            jnp.max(pv, axis=-1, keepdims=True), 1e-30)
+                        p_scale = p_amax * (1.0 / 127.0)
+                        pv_s8 = jnp.round(pv / p_scale).astype(jnp.int8)
+                        upd = jax.lax.dot_general(
+                            pv_s8, kv_buf[slot, 1, hh],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32
+                        ).astype(jnp.float32) * p_scale
+                    else:
+                        upd = jax.lax.dot_general(
+                            p.astype(cdt), kv_buf[slot, 1, hh],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                    accs.append((acc[hh] * alpha + upd)[None])
                     ms.append(m_new[None])
                 return (jnp.concatenate(ms, axis=0),
                         jnp.concatenate(ls, axis=0),
@@ -572,18 +645,28 @@ def fused_talker_step_hbm(
 
     Same contract as fused_talker_step: returns (hidden, kv) or
     (normed_hidden, logits, kv) with the cache row at n_past updated (the
-    scatter happens outside the kernel as one dynamic_update_slice)."""
+    scatter happens outside the kernel as one dynamic_update_slice).
+
+    kv may be the dense [L, 2, Hkv, C, D] cache or an int8 (q, scale) pair
+    from ops/kv_quant.py — the int8 form halves the valid-prefix DMA that
+    dominates long-context steps; the kernel returns full-precision K/V rows
+    and this wrapper re-quantizes them before the scatter."""
     if jax.default_backend() == "cpu":
         interpret = True
+    kv_int8 = isinstance(kv, tuple)
+    kv_arr = kv[0] if kv_int8 else kv
+    row_dtype = jnp.bfloat16 if kv_int8 else kv_arr.dtype
     H, L = cfg.hidden_size, cfg.n_layers
     Hq, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     F = cfg.intermediate_size
-    C = kv.shape[3]
+    C = kv_arr.shape[3]
     half = D // 2
     QKV = (Hq + 2 * Hkv) * D
     lps = layers_per_step if L % layers_per_step == 0 else 1
     chunk = min(chunk, C)
-    if C % chunk != 0:
+    if kv_int8:
+        chunk = _int8_chunk(C, chunk)
+    elif C % chunk != 0:
         # library callers can pass arbitrary capacities; fall back to the
         # largest divisor <= chunk instead of asserting (pipeline.py always
         # 256-aligns, so this only triggers for direct API users)
@@ -596,8 +679,9 @@ def fused_talker_step_hbm(
               * cfg.rope_theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half))
     cos, sin = jnp.cos(angles)[None, :], jnp.sin(angles)[None, :]
 
-    kernel = _make_kernel_hbm(cfg, C, mode=mode, kv_dtype=kv.dtype, lps=lps,
-                              with_head=with_head, chunk=chunk)
+    kernel = _make_kernel_hbm(cfg, C, mode=mode, kv_dtype=row_dtype, lps=lps,
+                              with_head=with_head, chunk=chunk,
+                              kv_int8=kv_int8)
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def blk(shape):
@@ -626,14 +710,17 @@ def fused_talker_step_hbm(
         in_specs += [vmem_full, vmem_full]
         operands += [output_norm.reshape(1, H), codec_head]
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # kv stays in HBM
-    operands.append(kv)
+    operands.append(kv_arr)
+    if kv_int8:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # row scales
+        operands.append(kv[1])
 
     out_specs = [
         blk((2, Hkv, D)),                          # current-step K/V rows
         pl.BlockSpec((1, H), lambda g: (0, 0), memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((L // lps, lps, 2, Hkv, D), kv.dtype),
+        jax.ShapeDtypeStruct((L // lps, lps, 2, Hkv, D), row_dtype),
         jax.ShapeDtypeStruct((1, H), jnp.float32),
     ]
     if with_head:
@@ -641,19 +728,26 @@ def fused_talker_step_hbm(
             pl.BlockSpec((1, Vc), lambda g: (0, 0), memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((1, Vc), jnp.float32))
 
+    scratch = [
+        pltpu.VMEM((1, H), jnp.float32),                 # x carry
+        pltpu.VMEM((Hq + 2 * Hkv, D), jnp.float32),      # head split
+        pltpu.VMEM((1, Hq * D), jnp.float32),            # head merge
+        pltpu.VMEM((2, 2, Hkv, chunk, D), kv_arr.dtype),  # KV chunk x2
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if kv_int8:
+        scratch += [
+            pltpu.VMEM((2, 2, Hkv, chunk), jnp.float32),  # scale chunk x2
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+
     outs = pl.pallas_call(
         kernel,
         grid=(L // lps,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        scratch_shapes=[
-            pltpu.VMEM((1, H), jnp.float32),                 # x carry
-            pltpu.VMEM((Hq + 2 * Hkv, D), jnp.float32),      # head split
-            pltpu.VMEM((1, Hq * D), jnp.float32),            # head merge
-            pltpu.VMEM((2, 2, Hkv, chunk, D), kv.dtype),     # KV chunk x2
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=115 * 1024 * 1024,
@@ -663,8 +757,18 @@ def fused_talker_step_hbm(
 
     # scatter the new K/V rows at n_past: ONE in-place update on the carry
     rows = outs[0].reshape(L, 2, Hkv, 1, D)
-    kv_new = lax.dynamic_update_slice(
-        kv, rows, (0, 0, 0, jnp.asarray(n_past, jnp.int32), 0))
+    if kv_int8:
+        from .kv_quant import quantize_kv
+
+        rq, rs = quantize_kv(rows)
+        n0 = jnp.asarray(n_past, jnp.int32)
+        kv_new = (
+            lax.dynamic_update_slice(kv[0], rq, (0, 0, 0, n0, 0)),
+            lax.dynamic_update_slice(kv[1], rs, (0, 0, 0, n0)),
+        )
+    else:
+        kv_new = lax.dynamic_update_slice(
+            kv, rows, (0, 0, 0, jnp.asarray(n_past, jnp.int32), 0))
     if with_head:
         return outs[1][0], outs[2][0], kv_new
     return outs[1][0], kv_new
@@ -689,9 +793,12 @@ def fused_talker_step_hbm(
 # exactly the hand-batched serving loop's invariant.
 
 _BATCHED_KV_CHUNK = 32
+# int8 KV chunks must be 128 (the scale slab's DMA slices C as its lane dim)
+_BATCHED_KV_CHUNK_INT8 = 128
 
 
-def _make_kernel_batched(cfg, B, C, *, mode, kv_dtype, with_head, chunk):
+def _make_kernel_batched(cfg, B, C, *, mode, kv_dtype, with_head, chunk,
+                         kv_int8=False):
     H = cfg.hidden_size
     L = cfg.n_layers
     Hq, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -700,18 +807,24 @@ def _make_kernel_batched(cfg, B, C, *, mode, kv_dtype, with_head, chunk):
     eps = cfg.rms_norm_eps
     scale = D ** -0.5
     mm = _make_mm(mode)
+    cdt = jnp.bfloat16 if kv_int8 else kv_dtype
 
     def kernel(n_past_ref, x_in_ref, cos_ref, sin_ref,
                attn_n_ref, q_n_ref, k_n_ref, ffn_n_ref,
                wqkv_q, wqkv_s, wo_q, wo_s, wgu_q, wgu_s, wd_q, wd_s,
                *rest):
+        rest = list(rest)
         if with_head:
-            (out_n_ref, head_ref, kv_hbm,
-             kvrow_ref, hid_ref, logits_ref,
-             x_ref, o_ref, kv_buf, sem) = rest
-        else:
-            (kv_hbm, kvrow_ref, hid_ref,
-             x_ref, o_ref, kv_buf, sem) = rest
+            out_n_ref, head_ref = rest[0], rest[1]
+            del rest[:2]
+        kv_hbm = rest.pop(0)
+        kvs_hbm = rest.pop(0) if kv_int8 else None
+        kvrow_ref = rest.pop(0)
+        hid_ref = rest.pop(0)
+        logits_ref = rest.pop(0) if with_head else None
+        x_ref, o_ref, kv_buf, sem = rest[:4]
+        if kv_int8:
+            sc_buf, sem_s = rest[4], rest[5]
 
         l = pl.program_id(0)
         n_past = n_past_ref[0, 0]
@@ -751,13 +864,26 @@ def _make_kernel_batched(cfg, B, C, *, mode, kv_dtype, with_head, chunk):
 
         def dma(c, slot):
             off = pl.multiple_of(c * chunk, chunk)
-            return pltpu.make_async_copy(
+            cps = [pltpu.make_async_copy(
                 kv_hbm.at[:, l, :, :, pl.ds(off, chunk), :],
-                kv_buf.at[slot], sem.at[slot])
+                kv_buf.at[slot], sem.at[slot])]
+            if kv_int8:
+                cps.append(pltpu.make_async_copy(
+                    kvs_hbm.at[:, l, :, :, pl.ds(off, chunk)],
+                    sc_buf.at[slot], sem_s.at[slot]))
+            return cps
+
+        def dma_start(c, slot):
+            for cp in dma(c, slot):
+                cp.start()
+
+        def dma_wait(c, slot):
+            for cp in dma(c, slot):
+                cp.wait()
 
         @pl.when(trip > 0)
         def _():
-            dma(jnp.int32(0), jnp.int32(0)).start()
+            dma_start(jnp.int32(0), jnp.int32(0))
 
         # flash state stacked [Hq, B, *]; per-pair updates rebuild the stack
         # by concatenation on the untiled leading axis
@@ -767,20 +893,27 @@ def _make_kernel_batched(cfg, B, C, *, mode, kv_dtype, with_head, chunk):
 
             @pl.when(c + 1 < trip)
             def _():
-                dma(c + 1, 1 - slot).start()
+                dma_start(c + 1, 1 - slot)
 
-            dma(c, slot).wait()
+            dma_wait(c, slot)
             col = c * chunk + lax.broadcasted_iota(jnp.int32, (B, chunk), 1)
             valid = col < n_past                          # [B, chunk]
             ms, ls, accs = [], [], []
             for hh in range(Hkv):
                 kc = kv_buf[slot, :, 0, hh].astype(jnp.float32)   # [B, ch, D]
                 vc = kv_buf[slot, :, 1, hh].astype(jnp.float32)
+                # int8 cache: K's per-row scales multiply the [B, chunk]
+                # score matrix; V's fold into p — dequant never touches
+                # the [B, chunk, D] slabs
+                ksc = sc_buf[slot, :, 0, hh] if kv_int8 else None
+                vsc = sc_buf[slot, :, 1, hh] if kv_int8 else None
                 for g in range(G):
                     i = hh * G + g
-                    q_i = qs[i].astype(kv_dtype).astype(jnp.float32)
+                    q_i = qs[i].astype(cdt).astype(jnp.float32)
                     # VPU "dot": broadcast q over the chunk dim, reduce D
                     s = jnp.sum(q_i[:, None, :] * kc, axis=-1) * scale
+                    if kv_int8:
+                        s = s * ksc                       # [B, chunk]
                     s = jnp.where(valid, s, NEG_INF)      # [B, chunk]
                     m_new = jnp.maximum(
                         m[i], jnp.max(s, axis=-1, keepdims=True))
@@ -788,8 +921,9 @@ def _make_kernel_batched(cfg, B, C, *, mode, kv_dtype, with_head, chunk):
                     alpha = jnp.exp(m[i] - m_new)
                     ls.append((alpha * lsum[i]
                                + jnp.sum(p, axis=-1, keepdims=True))[None])
+                    pv = p * vsc if kv_int8 else p
                     accs.append((acc[i] * alpha + jnp.sum(
-                        p[:, :, None] * vc, axis=1))[None])
+                        pv[:, :, None] * vc, axis=1))[None])
                     ms.append(m_new[None])
             return (jnp.concatenate(ms, axis=0),
                     jnp.concatenate(ls, axis=0),
@@ -802,11 +936,11 @@ def _make_kernel_batched(cfg, B, C, *, mode, kv_dtype, with_head, chunk):
 
         # fold in the current step's K/V as one extra attention column
         for hh in range(Hkv):
-            kc = ks[hh].astype(kv_dtype).astype(jnp.float32)      # [B, D]
-            vc = vs[hh].astype(kv_dtype).astype(jnp.float32)
+            kc = ks[hh].astype(cdt).astype(jnp.float32)           # [B, D]
+            vc = vs[hh].astype(cdt).astype(jnp.float32)
             for g in range(G):
                 i = hh * G + g
-                q_i = qs[i].astype(kv_dtype).astype(jnp.float32)
+                q_i = qs[i].astype(cdt).astype(jnp.float32)
                 s_cur = jnp.sum(q_i * kc, axis=-1, keepdims=True) * scale
                 m_fin = jnp.maximum(m[i], s_cur)
                 p_cur = jnp.exp(s_cur - m_fin)
@@ -857,17 +991,26 @@ def fused_talker_step_batched(
     """One talker decode step for B lockstep lanes, KV in HBM.
 
     Returns (hidden [B, H] f32, kv) or (normed_hidden, logits [B, Vc], kv)
-    with each lane's cache row at n_past updated."""
+    with each lane's cache row at n_past updated.
+
+    kv may be the dense [B, L, 2, Hkv, C, D] cache or an int8 (q, scale)
+    pair — at B=64 the per-lane valid-prefix DMA dominates the kernel, so
+    int8 halves its main cost and halves the cache footprint (B=128 fits)."""
     if jax.default_backend() == "cpu":
         interpret = True
+    kv_int8 = isinstance(kv, tuple)
+    kv_arr = kv[0] if kv_int8 else kv
+    row_dtype = jnp.bfloat16 if kv_int8 else kv_arr.dtype
     H, L = cfg.hidden_size, cfg.n_layers
     Hq, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     F = cfg.intermediate_size
-    B, C = kv.shape[0], kv.shape[4]
+    B, C = kv_arr.shape[0], kv_arr.shape[4]
     half = D // 2
     QKV = (Hq + 2 * Hkv) * D
-    chunk = min(chunk, C)
-    if C % chunk != 0:
+    if kv_int8:
+        chunk = _int8_chunk(C, _BATCHED_KV_CHUNK_INT8)
+    else:
+        chunk = min(chunk, C)
         while C % chunk != 0:   # largest divisor <= chunk (no assert: see v2)
             chunk -= 1
     with_head = codec_head is not None
@@ -877,8 +1020,9 @@ def fused_talker_step_batched(
               * cfg.rope_theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half))
     cos, sin = jnp.cos(angles)[None, :], jnp.sin(angles)[None, :]
 
-    kernel = _make_kernel_batched(cfg, B, C, mode=mode, kv_dtype=kv.dtype,
-                                  with_head=with_head, chunk=chunk)
+    kernel = _make_kernel_batched(cfg, B, C, mode=mode, kv_dtype=row_dtype,
+                                  with_head=with_head, chunk=chunk,
+                                  kv_int8=kv_int8)
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def blk(shape):
@@ -907,7 +1051,10 @@ def fused_talker_step_batched(
         in_specs += [vmem_full, vmem_full]
         operands += [output_norm.reshape(1, H), codec_head]
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # kv stays in HBM
-    operands.append(kv)
+    operands.append(kv_arr)
+    if kv_int8:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # row scales
+        operands.append(kv[1])
 
     out_specs = [
         pl.BlockSpec((1, B, 2, Hkv, D), lambda g: (g, 0, 0, 0, 0),
@@ -915,7 +1062,7 @@ def fused_talker_step_batched(
         pl.BlockSpec((B, H), lambda g: (0, 0), memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((L, B, 2, Hkv, D), kv.dtype),
+        jax.ShapeDtypeStruct((L, B, 2, Hkv, D), row_dtype),
         jax.ShapeDtypeStruct((B, H), jnp.float32),
     ]
     if with_head:
@@ -923,18 +1070,25 @@ def fused_talker_step_batched(
             pl.BlockSpec((B, Vc), lambda g: (0, 0), memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((B, Vc), jnp.float32))
 
+    scratch = [
+        pltpu.VMEM((B, H), jnp.float32),                 # x carry
+        pltpu.VMEM((B, Hq * D), jnp.float32),            # attn out
+        pltpu.VMEM((2, B, 2, Hkv, chunk, D), kv_arr.dtype),  # KV slab x2
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if kv_int8:
+        scratch += [
+            pltpu.VMEM((2, B, 2, Hkv, chunk), jnp.float32),  # scale slab x2
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+
     outs = pl.pallas_call(
         kernel,
         grid=(L,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),                 # x carry
-            pltpu.VMEM((B, Hq * D), jnp.float32),            # attn out
-            pltpu.VMEM((2, B, 2, Hkv, chunk, D), kv.dtype),  # KV slab x2
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=110 * 1024 * 1024,
@@ -944,8 +1098,18 @@ def fused_talker_step_batched(
 
     # scatter each lane's new K/V rows at n_past: one in-place update
     rows = outs[0].transpose(1, 0, 2, 3, 4).reshape(B, L, 2, Hkv, 1, D)
-    kv_new = lax.dynamic_update_slice(
-        kv, rows, (0, 0, 0, 0, jnp.asarray(n_past, jnp.int32), 0))
+    if kv_int8:
+        from .kv_quant import quantize_kv
+
+        rq, rs = quantize_kv(rows)
+        n0 = jnp.asarray(n_past, jnp.int32)
+        kv_new = (
+            lax.dynamic_update_slice(kv[0], rq, (0, 0, 0, 0, n0, 0)),
+            lax.dynamic_update_slice(kv[1], rs, (0, 0, 0, 0, n0)),
+        )
+    else:
+        kv_new = lax.dynamic_update_slice(
+            kv, rows, (0, 0, 0, 0, jnp.asarray(n_past, jnp.int32), 0))
     if with_head:
         return outs[1], outs[2], kv_new
     return outs[1], kv_new

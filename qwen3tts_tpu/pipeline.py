@@ -41,6 +41,77 @@ from .runtime.buckets import pick_bucket
 from .runtime.timing import StageTimings, now_ms, rss_bytes
 from .text.bpe import TextTokenizer, synthetic_tokenizer
 
+import functools
+
+# one vmapped vocoder dispatch holds at most this many lanes: the conv
+# stack's activations scale with B x frames and a 64-lane 256-frame program
+# fails to compile (resource limits); 16 lanes compiles and keeps the
+# dispatch count at B/16 instead of B
+_VOCODE_MAX_LANES = 16
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _vocode_batch(vparams, cfg, codes, n_frames):
+    """Vmapped vocoder over a shared frame bucket: codes [G, Fb, 16],
+    n_frames [G] -> audio [G, Fb * samples_per_frame].
+
+    Matmul precision is pinned to f32: under vmap the default (bf16-pass)
+    TPU dots reassociate differently than the single-utterance program, and
+    the Snake stages amplify that into audible waveform divergence (measured:
+    batched-vs-single corr 0.99 / max|d| 1.6 at default, 1.000000 / 1e-4 at
+    f32). The vocoder is a tiny fraction of batched serving wall time."""
+    with jax.default_matmul_precision("float32"):
+        return jax.vmap(
+            lambda c, n: vocoder_model.vocoder_forward(vparams, cfg, c, n)
+        )(codes, n_frames)
+
+
+def vocode_batched(vparams, cfg, codes, n_frames):
+    """Batch vocode in <=_VOCODE_MAX_LANES-lane vmapped dispatches (the
+    serving path: B dispatches -> ceil(B/16); codes [B, Fb, 16])."""
+    B = codes.shape[0]
+    outs = []
+    for g0 in range(0, B, _VOCODE_MAX_LANES):
+        g1 = min(B, g0 + _VOCODE_MAX_LANES)
+        # pad the tail group to the full lane count so one program serves
+        # every group (compile once per bucket)
+        if g1 - g0 < _VOCODE_MAX_LANES and B > _VOCODE_MAX_LANES:
+            pad = _VOCODE_MAX_LANES - (g1 - g0)
+            c = jnp.concatenate(
+                [codes[g0:g1], jnp.zeros((pad,) + codes.shape[1:], codes.dtype)])
+            n = jnp.concatenate(
+                [n_frames[g0:g1], jnp.ones((pad,), n_frames.dtype)])
+            outs.append(np.asarray(_vocode_batch(vparams, cfg, c, n))[: g1 - g0])
+        else:
+            outs.append(np.asarray(_vocode_batch(
+                vparams, cfg, codes[g0:g1], n_frames[g0:g1])))
+    return np.concatenate(outs) if len(outs) > 1 else outs[0]
+
+
+def resolve_kv_quant(rt, *, kv_capacity: int = 0, batched: bool = False) -> str:
+    """Resolve RuntimeConfig.kv_quant ("auto" policy + env override) to the
+    decode loop's static kv_quant arg.
+
+    auto => "none" on every path as of the r2 measurements: the int8 cache
+    halves the slab DMA, but every fetched int8 element pays a VPU cast with
+    a (32,128)->(8,128) relayout that eats the saving — v3 batched B=64
+    measured 18.6 vs 10.1 ms/frame-set, v2 long-form C=2304 a noise-level
+    1.734 vs 1.758 ms/step (tools/smoke_kv_int8.py). int8 stays a correct,
+    opt-in MEMORY tier (halves cache footprint; QWEN3TTS_KV_INT8=1 or
+    RuntimeConfig.kv_quant="int8") until the s8xs8 MXU attention path (dots
+    directly on int8 slabs, scales folded into the score matrix) makes it a
+    speed win. Requires quantized weights (the fused talker path)."""
+    env = os.environ.get("QWEN3TTS_KV_INT8")
+    if env in ("0", "false", "off"):
+        return "none"
+    if env in ("1", "true", "on"):
+        return "int8" if rt.quant in ("int8", "q4") else "none"
+    mode = getattr(rt, "kv_quant", "auto")
+    if mode != "auto":
+        return mode
+    return "none"
+
+
 # Language name/code -> codec language id (reference src/main.cpp:104-113).
 LANGUAGE_IDS = {
     "en": 2050, "english": 2050,
@@ -391,6 +462,7 @@ class Qwen3TTS:
                 top_p=params.top_p,
                 repetition_penalty=params.repetition_penalty,
                 nothink=params.language_id < 0,
+                kv_quant=resolve_kv_quant(rt, kv_capacity=kv_capacity),
             )
         else:
             gen = decode_loop.generate_from_tokens(
@@ -404,6 +476,7 @@ class Qwen3TTS:
                 repetition_penalty=params.repetition_penalty,
                 nothink=params.language_id < 0,
                 progress_cb=progress_cb,
+                kv_quant=resolve_kv_quant(rt, kv_capacity=kv_capacity),
             )
         n_frames = int(gen.n_frames)
         n_frames = min(n_frames, params.max_audio_tokens)
@@ -420,6 +493,10 @@ class Qwen3TTS:
             self.talker_params = self.cp_params = None
 
         # 3. vocoder decode
+        # NB: with fused_dispatch the vocoder already ran INSIDE the
+        # generation dispatch, so t_generate_ms above absorbs the vocoder
+        # time and t_decode_ms only measures the host-side slice below —
+        # read t_generate_ms as the combined device wall in that mode.
         t0 = now_ms()
         if fused_audio is not None:
             spf = self.config.vocoder.samples_per_frame
@@ -443,8 +520,14 @@ class Qwen3TTS:
     def synthesize_batch(self, texts, params: SamplingConfig = SamplingConfig(),
                          speakers=None):
         """Batched multi-utterance synthesis (BASELINE.json config #5): all
-        utterances run one fused vmapped decode loop (shard the batch over a
-        "dp" mesh axis for multi-chip serving). Returns a list of TTSResult."""
+        utterances run one fused batched decode loop, then ONE vmapped
+        vocoder dispatch over a shared frame bucket (shard the batch over a
+        "dp" mesh axis for multi-chip serving). Returns a list of TTSResult.
+
+        Timing attribution: t_generate_ms / t_decode_ms on each result are
+        the batch stage walls divided by B — the amortized per-utterance
+        serving cost (so per-utterance RTF reflects throughput); t_total_ms
+        is the whole-batch wall."""
         rt = self.config.runtime
         tcfg, ccfg = self.config.talker, self.config.code_predictor
         B = len(texts)
@@ -479,22 +562,51 @@ class Qwen3TTS:
             max_frames=max_frames, kv_capacity=kv_capacity,
             temperature=params.temperature, top_k=params.top_k, top_p=params.top_p,
             repetition_penalty=params.repetition_penalty,
-            nothink=params.language_id < 0)
+            nothink=params.language_id < 0,
+            kv_quant=resolve_kv_quant(rt, batched=True))
         t_gen = now_ms() - t0
         all_codes = np.asarray(gen.codes)
         all_n = np.asarray(gen.n_frames)
+        n_clamped = np.minimum(all_n, params.max_audio_tokens).astype(np.int64)
+
+        # vocode the whole batch as ONE vmapped dispatch over a shared frame
+        # bucket (r1 looped B single-utterance vocoder calls — at B=64 that
+        # was 64 sequential ~35 ms dispatches after an ~8 ms/frame-set
+        # generator). Long-form runs configured for chunked vocoding keep the
+        # per-utterance streaming path.
+        vcfg = self.config.vocoder
+        spf = vcfg.samples_per_frame
+        t0 = now_ms()
+        if self.vocoder_params is None:
+            self._load_vocoder()
+        nmax = int(n_clamped.max()) if B else 0
+        batched_audio = None
+        if nmax > 0 and not (rt.vocoder_chunk_frames
+                             and nmax > rt.vocoder_chunk_frames):
+            Fb = pick_bucket(nmax, rt.vocoder_buckets)
+            bufs = np.zeros((B, Fb, vcfg.n_codebooks), np.int32)
+            for i in range(B):
+                bufs[i, : n_clamped[i]] = all_codes[i, : n_clamped[i]]
+            batched_audio = vocode_batched(
+                self.vocoder_params, vcfg, jnp.asarray(bufs),
+                jnp.asarray(np.maximum(n_clamped, 1), np.int32))
+        t_dec = now_ms() - t0
 
         for i, r in enumerate(results):
-            n = int(min(all_n[i], params.max_audio_tokens))
+            n = int(n_clamped[i])
             r.codes = all_codes[i, :n]
             r.n_frames = n
-            r.timings.t_generate_ms = t_gen
+            r.timings.t_generate_ms = t_gen / max(B, 1)
             if n == 0:
                 r.error_msg = "No speech codes generated"
                 continue
-            t0 = now_ms()
-            r.audio = self.decode_codes(r.codes)
-            r.timings.t_decode_ms = now_ms() - t0
+            if batched_audio is not None:
+                r.audio = batched_audio[i, : n * spf]
+                r.timings.t_decode_ms = t_dec / max(B, 1)
+            else:
+                t0 = now_ms()
+                r.audio = self.decode_codes(r.codes)
+                r.timings.t_decode_ms = now_ms() - t0
             r.sample_rate = self.config.vocoder.sample_rate
             r.success = True
             r.timings.t_total_ms = now_ms() - t_total0
@@ -543,7 +655,8 @@ class Qwen3TTS:
             kv_capacity=kv_capacity,
             temperature=params.temperature, top_k=params.top_k,
             top_p=params.top_p, repetition_penalty=params.repetition_penalty,
-            nothink=params.language_id < 0)
+            nothink=params.language_id < 0,
+            kv_quant=resolve_kv_quant(rt, kv_capacity=kv_capacity))
 
         emitted = 0
         budget = min(params.max_audio_tokens, max_frames)

@@ -112,12 +112,17 @@ def generate(
     fused_cp="auto",
     fused_talker="auto",
     kv_strategy: str = "auto",
+    kv_quant: str = "none",
     greedy=None,
     use_top_p=None,
 ) -> GenerateResult:
     """Run prefill + the full frame loop. Static args define the compiled
     shape bucket; temperature/top_p/repetition_penalty are traced scalars
     (value changes never recompile) and tensor args vary freely within it.
+
+    kv_quant="int8" stores the decode KV cache as (int8, f32 row scale) —
+    halves the valid-prefix DMA in the fused HBM talker kernel (the dominant
+    long-context cost). Requires the fused talker path; ignored elsewhere.
 
     progress_cb, if given, is invoked from the device loop via io_callback
     with the current frame count — this wires up the reference's declared-but-
@@ -133,6 +138,10 @@ def generate(
     kv = talker_model.make_kv_cache(talker_cfg, kv_capacity, dtype)
     last_hidden, logits, kv = talker_model.talker_prefill(
         talker_params, talker_cfg, prefill.prefill_embd, kv)
+    if kv_quant == "int8" and _resolve_fused_talker(fused_talker, talker_params):
+        from ..ops.kv_quant import quantize_kv
+
+        kv = quantize_kv(kv)
 
     state = _LoopState(
         frame=jnp.int32(0),
@@ -228,9 +237,13 @@ def _make_body(
         # v2 (KV in HBM, valid-prefix chunked DMA) has no capacity gate and
         # keeps the same speed at long-form budgets (measured: v1 1.23 /
         # v2 1.35 ms/step at C=512; v2 1.36 vs XLA 1.82 at C=2304).
+        # An int8 (q, scale) cache always routes v2 (it owns the slab DMA).
+        from ..ops.kv_quant import is_quantized_kv
         from ..ops.pallas_talker_step import MAX_FUSED_CAPACITY
 
-        if use_fused_talker and s.kv.shape[3] <= MAX_FUSED_CAPACITY:
+        kv_is_q = is_quantized_kv(s.kv)
+        if (use_fused_talker and not kv_is_q
+                and s.kv.shape[3] <= MAX_FUSED_CAPACITY):
             from ..ops.pallas_talker_step import fused_talker_step
 
             hidden_f32, logits, kv = fused_talker_step(
@@ -293,6 +306,7 @@ def generate_from_tokens(
     allow_eos: bool = True,
     fused_cp="auto",
     fused_talker="auto",
+    kv_quant: str = "none",
     greedy=None,
     use_top_p=None,
 ) -> GenerateResult:
@@ -308,7 +322,8 @@ def generate_from_tokens(
         kv_capacity=kv_capacity, temperature=temperature, top_k=top_k,
         top_p=top_p, repetition_penalty=repetition_penalty, nothink=nothink,
         progress_cb=progress_cb, allow_eos=allow_eos, fused_cp=fused_cp,
-        fused_talker=fused_talker, greedy=greedy, use_top_p=use_top_p)
+        fused_talker=fused_talker, kv_quant=kv_quant, greedy=greedy,
+        use_top_p=use_top_p)
 
 
 @functools.partial(
@@ -316,14 +331,14 @@ def generate_from_tokens(
     static_argnames=(
         "talker_cfg", "cp_cfg", "max_frames", "kv_capacity", "top_k",
         "nothink", "progress_cb", "allow_eos", "fused_cp", "fused_talker",
-        "greedy", "use_top_p",
+        "kv_quant", "greedy", "use_top_p",
     ),
 )
 def _generate_from_tokens_jit(
     talker_params, cp_params, tokens, n_tokens, speaker_embd, language_id,
     key, *, talker_cfg, cp_cfg, max_frames, kv_capacity, temperature, top_k,
     top_p, repetition_penalty, nothink, progress_cb, allow_eos, fused_cp,
-    fused_talker, greedy, use_top_p,
+    fused_talker, kv_quant, greedy, use_top_p,
 ) -> GenerateResult:
     prefill = talker_model.build_prefill(
         talker_params, talker_cfg, tokens, n_tokens, speaker_embd, language_id,
@@ -334,14 +349,14 @@ def _generate_from_tokens_jit(
         temperature=temperature, top_k=top_k, top_p=top_p,
         repetition_penalty=repetition_penalty, progress_cb=progress_cb,
         allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker,
-        greedy=greedy, use_top_p=use_top_p)
+        kv_quant=kv_quant, greedy=greedy, use_top_p=use_top_p)
 
 
 def generate_from_tokens_batched(
     talker_params, cp_params, tokens, n_tokens, speaker_embd, language_id,
     keys, *, talker_cfg, cp_cfg, max_frames, kv_capacity, temperature, top_k,
     top_p=1.0, repetition_penalty=1.05, nothink=False, fused_cp="auto",
-    allow_eos=True, greedy=None, use_top_p=None,
+    allow_eos=True, kv_quant="none", greedy=None, use_top_p=None,
 ) -> GenerateResult:
     """See _generate_from_tokens_batched_jit; this wrapper derives the static
     sampler-stage flags from python-float params (kernel_prng.sampling_flags)
@@ -352,15 +367,15 @@ def generate_from_tokens_batched(
         keys, talker_cfg=talker_cfg, cp_cfg=cp_cfg, max_frames=max_frames,
         kv_capacity=kv_capacity, temperature=temperature, top_k=top_k,
         top_p=top_p, repetition_penalty=repetition_penalty, nothink=nothink,
-        fused_cp=fused_cp, allow_eos=allow_eos, greedy=greedy,
-        use_top_p=use_top_p)
+        fused_cp=fused_cp, allow_eos=allow_eos, kv_quant=kv_quant,
+        greedy=greedy, use_top_p=use_top_p)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "talker_cfg", "cp_cfg", "max_frames", "kv_capacity", "top_k",
-        "nothink", "fused_cp", "allow_eos", "greedy", "use_top_p",
+        "nothink", "fused_cp", "allow_eos", "kv_quant", "greedy", "use_top_p",
     ),
 )
 def _generate_from_tokens_batched_jit(
@@ -383,6 +398,7 @@ def _generate_from_tokens_batched_jit(
     nothink: bool = False,
     fused_cp="auto",
     allow_eos: bool = True,
+    kv_quant: str = "none",
     greedy: bool = False,
     use_top_p: bool = True,
 ) -> GenerateResult:
@@ -407,7 +423,8 @@ def _generate_from_tokens_batched_jit(
             max_frames=max_frames, kv_capacity=kv_capacity,
             temperature=temperature, top_k=top_k, top_p=top_p,
             repetition_penalty=repetition_penalty, nothink=nothink,
-            allow_eos=allow_eos, greedy=greedy, use_top_p=use_top_p)
+            allow_eos=allow_eos, kv_quant=kv_quant, greedy=greedy,
+            use_top_p=use_top_p)
 
     def one(tokens_i, n_i, spk_i, lang_i, key_i):
         prefill = talker_model.build_prefill(
@@ -440,8 +457,8 @@ class _BatchedState(NamedTuple):
 def _generate_batched_fused(
     talker_params, cp_params, tokens, n_tokens, speaker_embd, language_id,
     keys, *, talker_cfg, cp_cfg, max_frames, kv_capacity, temperature, top_k,
-    top_p, repetition_penalty, nothink, allow_eos=True, greedy=None,
-    use_top_p=None,
+    top_p, repetition_penalty, nothink, allow_eos=True, kv_quant="none",
+    greedy=None, use_top_p=None,
 ) -> GenerateResult:
     """Hand-batched frame loop: per-lane semantics identical to the vmapped
     path (emission masking, latched EOS), but the code predictor runs as ONE
@@ -474,6 +491,10 @@ def _generate_batched_fused(
     last_hidden, logits, kv = jax.vmap(
         lambda pe: talker_model.talker_prefill(talker_params, talker_cfg, pe, kv0)
     )(prefill.prefill_embd)
+    if kv_quant == "int8" and _resolve_fused_talker("auto", talker_params):
+        from ..ops.kv_quant import quantize_kv
+
+        kv = quantize_kv(kv)
 
     state = _BatchedState(
         it=jnp.int32(0),
@@ -582,6 +603,7 @@ def _generate_batched_fused(
     jax.jit,
     static_argnames=(
         "talker_cfg", "cp_cfg", "max_frames", "kv_capacity", "nothink",
+        "fused_talker", "kv_quant",
     ),
 )
 def generate_init(
@@ -598,9 +620,13 @@ def generate_init(
     max_frames: int,
     kv_capacity: int,
     nothink: bool = False,
+    fused_talker="auto",
+    kv_quant: str = "none",
 ):
     """Build prefill inputs, run the talker prefill, return (state, prefill)
-    ready for generate_chunk."""
+    ready for generate_chunk. kv_quant/fused_talker must match what the
+    subsequent generate_chunk calls use (the state's KV representation is
+    fixed here)."""
     H = talker_cfg.hidden_size
     Vc = talker_cfg.codec_vocab_size
     dtype = talker_params.codec_embd.dtype
@@ -610,6 +636,10 @@ def generate_init(
     kv = talker_model.make_kv_cache(talker_cfg, kv_capacity, dtype)
     last_hidden, logits, kv = talker_model.talker_prefill(
         talker_params, talker_cfg, prefill.prefill_embd, kv)
+    if kv_quant == "int8" and _resolve_fused_talker(fused_talker, talker_params):
+        from ..ops.kv_quant import quantize_kv
+
+        kv = quantize_kv(kv)
     state = _LoopState(
         frame=jnp.int32(0),
         n_past=jnp.int32(prefill.prefill_embd.shape[0]),
@@ -691,8 +721,8 @@ def generate_start(
     talker_params, cp_params, tokens, n_tokens, speaker_embd, language_id,
     key, *, talker_cfg, cp_cfg, chunk_frames, max_frames, kv_capacity,
     temperature, top_k, top_p=1.0, repetition_penalty=1.05, nothink=False,
-    allow_eos=True, fused_cp="auto", fused_talker="auto", greedy=None,
-    use_top_p=None,
+    allow_eos=True, fused_cp="auto", fused_talker="auto", kv_quant="none",
+    greedy=None, use_top_p=None,
 ):
     """Prefill + the FIRST chunk in one dispatch (time-to-first-audio path).
     Sampling params traced; stage flags derived here."""
@@ -704,7 +734,7 @@ def generate_start(
         temperature=temperature, top_k=top_k, top_p=top_p,
         repetition_penalty=repetition_penalty, nothink=nothink,
         allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker,
-        greedy=greedy, use_top_p=use_top_p)
+        kv_quant=kv_quant, greedy=greedy, use_top_p=use_top_p)
 
 
 @functools.partial(
@@ -712,7 +742,7 @@ def generate_start(
     static_argnames=(
         "talker_cfg", "cp_cfg", "chunk_frames", "max_frames", "kv_capacity",
         "top_k", "nothink", "allow_eos", "fused_cp", "fused_talker",
-        "greedy", "use_top_p",
+        "kv_quant", "greedy", "use_top_p",
     ),
 )
 def _generate_start_jit(
@@ -737,6 +767,7 @@ def _generate_start_jit(
     allow_eos: bool,
     fused_cp,
     fused_talker,
+    kv_quant: str,
     greedy: bool,
     use_top_p: bool,
 ):
@@ -751,6 +782,10 @@ def _generate_start_jit(
     kv = talker_model.make_kv_cache(talker_cfg, kv_capacity, dtype)
     last_hidden, logits, kv = talker_model.talker_prefill(
         talker_params, talker_cfg, prefill.prefill_embd, kv)
+    if kv_quant == "int8" and _resolve_fused_talker(fused_talker, talker_params):
+        from ..ops.kv_quant import quantize_kv
+
+        kv = quantize_kv(kv)
     state = _LoopState(
         frame=jnp.int32(0),
         n_past=jnp.int32(prefill.prefill_embd.shape[0]),

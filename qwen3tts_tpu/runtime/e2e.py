@@ -32,7 +32,7 @@ def generate_and_vocode(
     language_id, key, *, talker_cfg, cp_cfg, vocoder_cfg, max_frames,
     kv_capacity, temperature, top_k, top_p=1.0, repetition_penalty=1.05,
     nothink=False, allow_eos=True, fused_cp="auto", fused_talker="auto",
-    greedy=None, use_top_p=None,
+    kv_quant="none", greedy=None, use_top_p=None,
 ):
     """Returns (audio [max_frames * samples_per_frame] f32, GenerateResult).
     Valid audio is the first n_frames * samples_per_frame samples. Sampling
@@ -45,7 +45,7 @@ def generate_and_vocode(
         kv_capacity=kv_capacity, temperature=temperature, top_k=top_k,
         top_p=top_p, repetition_penalty=repetition_penalty, nothink=nothink,
         allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker,
-        greedy=greedy, use_top_p=use_top_p)
+        kv_quant=kv_quant, greedy=greedy, use_top_p=use_top_p)
 
 
 @functools.partial(
@@ -53,7 +53,7 @@ def generate_and_vocode(
     static_argnames=(
         "talker_cfg", "cp_cfg", "vocoder_cfg", "max_frames", "kv_capacity",
         "top_k", "nothink", "allow_eos", "fused_cp", "fused_talker",
-        "greedy", "use_top_p",
+        "kv_quant", "greedy", "use_top_p",
     ),
 )
 def _generate_and_vocode_jit(
@@ -79,6 +79,7 @@ def _generate_and_vocode_jit(
     allow_eos: bool,
     fused_cp,
     fused_talker,
+    kv_quant: str,
     greedy: bool,
     use_top_p: bool,
 ):
@@ -88,7 +89,7 @@ def _generate_and_vocode_jit(
         kv_capacity=kv_capacity, temperature=temperature, top_k=top_k,
         top_p=top_p, repetition_penalty=repetition_penalty, nothink=nothink,
         allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker,
-        greedy=greedy, use_top_p=use_top_p)
+        kv_quant=kv_quant, greedy=greedy, use_top_p=use_top_p)
     audio = vocoder_model.vocoder_forward(
         vocoder_params, vocoder_cfg, gen.codes, gen.n_frames)
     return audio, gen
@@ -99,7 +100,7 @@ def start_and_vocode(
     language_id, key, *, talker_cfg, cp_cfg, vocoder_cfg, chunk_frames,
     max_frames, kv_capacity, temperature, top_k, top_p=1.0,
     repetition_penalty=1.05, nothink=False, allow_eos=True, fused_cp="auto",
-    fused_talker="auto", greedy=None, use_top_p=None,
+    fused_talker="auto", kv_quant="none", greedy=None, use_top_p=None,
 ):
     """Time-to-first-audio path, one dispatch: prefill + the first
     chunk_frames of generation + vocoder over that chunk. Returns
@@ -115,7 +116,7 @@ def start_and_vocode(
         temperature=temperature, top_k=top_k, top_p=top_p,
         repetition_penalty=repetition_penalty, nothink=nothink,
         allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker,
-        greedy=greedy, use_top_p=use_top_p)
+        kv_quant=kv_quant, greedy=greedy, use_top_p=use_top_p)
 
 
 @functools.partial(
@@ -123,7 +124,7 @@ def start_and_vocode(
     static_argnames=(
         "talker_cfg", "cp_cfg", "vocoder_cfg", "chunk_frames", "max_frames",
         "kv_capacity", "top_k", "nothink", "allow_eos", "fused_cp",
-        "fused_talker", "greedy", "use_top_p",
+        "fused_talker", "kv_quant", "greedy", "use_top_p",
     ),
 )
 def _start_and_vocode_jit(
@@ -150,6 +151,7 @@ def _start_and_vocode_jit(
     allow_eos: bool,
     fused_cp,
     fused_talker,
+    kv_quant: str,
     greedy: bool,
     use_top_p: bool,
 ):
@@ -160,7 +162,7 @@ def _start_and_vocode_jit(
         temperature=temperature, top_k=top_k, top_p=top_p,
         repetition_penalty=repetition_penalty, nothink=nothink,
         allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker,
-        greedy=greedy, use_top_p=use_top_p)
+        kv_quant=kv_quant, greedy=greedy, use_top_p=use_top_p)
     audio = vocoder_model.vocoder_forward(
         vocoder_params, vocoder_cfg, state.codes[:chunk_frames],
         jnp.minimum(state.frame, chunk_frames))

@@ -274,3 +274,160 @@ def test_batched_kernel_head_and_w8a8(setup):
     err = np.abs(np.asarray(hq) - ref).max() / (np.abs(ref).max() + 1e-9)
     assert err < 0.15, f"w8a8 relative error too large: {err}"
     assert np.isfinite(np.asarray(lq)).all()
+
+
+# ---------------------------------------------------------------------------
+# int8 KV cache (ops/kv_quant.py + kv_int8 kernel variants)
+# ---------------------------------------------------------------------------
+
+def _cosine(a, b):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
+
+
+def test_kv_quant_roundtrip():
+    from qwen3tts_tpu.ops.kv_quant import dequantize_kv, quantize_kv
+
+    kv = jax.random.normal(jax.random.PRNGKey(3), (2, 2, 4, 16, 8), jnp.float32)
+    kv = kv.at[:, :, :, 10:].set(0.0)   # unwritten slots stay exact zeros
+    q, s = quantize_kv(kv)
+    assert q.dtype == jnp.int8 and s.shape == kv.shape[:-1]
+    deq = dequantize_kv(q, s, jnp.float32)
+    amax = np.abs(np.asarray(kv)).max(axis=-1, keepdims=True)
+    bound = np.broadcast_to(amax / 127.0 * 1.001 + 1e-9, deq.shape)
+    np.testing.assert_array_less(np.abs(np.asarray(deq) - np.asarray(kv)), bound)
+    assert np.all(np.asarray(deq)[:, :, :, 10:] == 0.0)
+
+
+def test_hbm_kernel_int8_kv_matches_bf16_kv(setup):
+    """v2 with an int8 (q, scale) cache tracks the bf16-cache kernel: cosine
+    >= 0.999 on hidden and the scattered row re-quantizes losslessly enough
+    to round-trip within the per-row quantization bound."""
+    from qwen3tts_tpu.ops.kv_quant import dequantize_kv, quantize_kv
+
+    cfg, params, qblocks, deq_blocks, kv, x = setup
+    n_past = 20
+    kvz = kv.at[:, :, :, n_past:].set(0.0)
+    h_ref, kv_ref = pts.fused_talker_step_hbm(
+        qblocks, cfg, x, jnp.int32(n_past), kvz.astype(jnp.bfloat16),
+        mode="dequant", chunk=8, interpret=True)
+    h_i8, kv_i8 = pts.fused_talker_step_hbm(
+        qblocks, cfg, x, jnp.int32(n_past), quantize_kv(kvz),
+        mode="dequant", chunk=8, interpret=True)
+    assert isinstance(kv_i8, tuple)
+    assert _cosine(h_ref, h_i8) >= 0.999
+    row = dequantize_kv(kv_i8[0][:, :, :, n_past], kv_i8[1][:, :, :, n_past],
+                        jnp.float32)
+    ref_row = np.asarray(kv_ref[:, :, :, n_past], np.float32)
+    bound = np.broadcast_to(
+        np.abs(ref_row).max(axis=-1, keepdims=True) / 127.0 * 1.01 + 1e-6,
+        ref_row.shape)
+    np.testing.assert_array_less(np.abs(np.asarray(row) - ref_row), bound)
+
+
+def test_hbm_kernel_int8_kv_with_head(setup):
+    from qwen3tts_tpu.ops.kv_quant import quantize_kv
+
+    cfg, params, qblocks, deq_blocks, kv, x = setup
+    n_past = jnp.int32(9)
+    hd, ld, _ = pts.fused_talker_step_hbm(
+        qblocks, cfg, x, n_past, kv.astype(jnp.bfloat16), mode="dequant",
+        chunk=8, output_norm=params.output_norm, codec_head=params.codec_head,
+        interpret=True)
+    hq, lq, kvq = pts.fused_talker_step_hbm(
+        qblocks, cfg, x, n_past, quantize_kv(kv), mode="dequant", chunk=8,
+        output_norm=params.output_norm, codec_head=params.codec_head,
+        interpret=True)
+    assert isinstance(kvq, tuple)
+    assert _cosine(hd, hq) >= 0.999
+    assert _cosine(ld, lq) >= 0.999
+
+
+def test_batched_kernel_int8_kv_matches_bf16_kv(setup):
+    from qwen3tts_tpu.ops.kv_quant import quantize_kv
+
+    cfg, params, qblocks, deq_blocks, kv, x = setup
+    B, n_past = 3, 17
+    keys = jax.random.split(jax.random.PRNGKey(29), B)
+    xb = jax.vmap(lambda k: jax.random.normal(
+        k, (cfg.hidden_size,), jnp.float32))(keys)
+    kvb = jnp.stack([kv * (i + 1) * 0.2 for i in range(B)])
+    kvb = kvb.at[:, :, :, :, n_past:].set(0.0)
+    hd, ld, _ = pts.fused_talker_step_batched(
+        qblocks, cfg, xb, jnp.int32(n_past), kvb.astype(jnp.bfloat16),
+        mode="dequant", output_norm=params.output_norm,
+        codec_head=params.codec_head, interpret=True)
+    hq, lq, kvq = pts.fused_talker_step_batched(
+        qblocks, cfg, xb, jnp.int32(n_past), quantize_kv(kvb),
+        mode="dequant", output_norm=params.output_norm,
+        codec_head=params.codec_head, interpret=True)
+    assert isinstance(kvq, tuple)
+    for b in range(B):
+        assert _cosine(hd[b], hq[b]) >= 0.999
+        assert _cosine(ld[b], lq[b]) >= 0.999
+
+
+def test_hbm_kernel_int8_kv_teacher_forced_chain(setup):
+    """Chained quality gate for the int8 cache: feed IDENTICAL (forced)
+    inputs to the bf16-cache and int8-cache kernels for N steps, so the only
+    divergence source is the cache representation itself (free-running AR
+    chains flip a near-tie argmax and then diverge chaotically on synthetic
+    weights — that gate measures chaos, not quality). Logits must track at
+    cosine >= 0.999 at EVERY step."""
+    from qwen3tts_tpu.ops.kv_quant import quantize_kv
+
+    cfg, params, qblocks, deq_blocks, kv, x = setup
+    N, n0 = 10, 12
+    kv_bf = kv.at[:, :, :, n0:].set(0.0).astype(jnp.bfloat16)
+    kv_i8 = quantize_kv(kv_bf)
+    key = jax.random.PRNGKey(31)
+    for step in range(N):
+        key, k = jax.random.split(key)
+        xs = jax.random.normal(k, (cfg.hidden_size,), jnp.float32)
+        hb, lb, kv_bf = pts.fused_talker_step_hbm(
+            qblocks, cfg, xs, jnp.int32(n0 + step), kv_bf, mode="dequant",
+            chunk=8, output_norm=params.output_norm,
+            codec_head=params.codec_head, interpret=True)
+        hq, lq, kv_i8 = pts.fused_talker_step_hbm(
+            qblocks, cfg, xs, jnp.int32(n0 + step), kv_i8, mode="dequant",
+            chunk=8, output_norm=params.output_norm,
+            codec_head=params.codec_head, interpret=True)
+        assert _cosine(hb, hq) >= 0.999, f"hidden diverged at step {step}"
+        assert _cosine(lb, lq) >= 0.999, f"logits diverged at step {step}"
+
+
+def test_generate_kv_quant_int8_structural():
+    """Loop-level plumbing: generate() with kv_quant="int8" + the fused
+    talker path carries the (q, scale) cache through the while_loop and
+    produces a structurally valid result (same frame count and shapes as the
+    bf16-cache run; codes in range). Exact greedy-code equality is NOT
+    asserted: the s8 attention tier's ~0.4% score noise flips near-tie
+    argmaxes on synthetic weights and AR diverges — quality is gated by the
+    teacher-forced chain test above."""
+    from qwen3tts_tpu.models import code_predictor as cp_model
+    from qwen3tts_tpu.runtime import decode_loop
+
+    pcfg = tiny_pipeline_config()
+    tcfg, ccfg = pcfg.talker, pcfg.code_predictor
+    tparams = talker_model.init_talker_params(jax.random.PRNGKey(1), tcfg, jnp.float32)
+    tparams = tparams._replace(blocks=quantize_block_params(tparams.blocks))
+    cparams = cp_model.init_code_predictor_params(jax.random.PRNGKey(2), ccfg, jnp.float32)
+    tokens = jnp.asarray([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 0, 0], jnp.int32)
+    args = dict(talker_cfg=tcfg, cp_cfg=ccfg, max_frames=6, kv_capacity=64,
+                temperature=0.0, top_k=0, nothink=False, allow_eos=False,
+                fused_cp=False, fused_talker=True)
+    outs = {}
+    for kvq in ("none", "int8"):
+        outs[kvq] = decode_loop.generate_from_tokens(
+            tparams, cparams, tokens, jnp.int32(10),
+            jnp.zeros((tcfg.hidden_size,), jnp.float32), jnp.int32(2050),
+            jax.random.PRNGKey(0), kv_quant=kvq, **args)
+    assert int(outs["int8"].n_frames) == int(outs["none"].n_frames)
+    b = np.asarray(outs["int8"].codes)
+    assert b.shape == np.asarray(outs["none"].codes).shape
+    assert (b >= 0).all() and (b < tcfg.codec_vocab_size).all()
+    # frame 0 sees an identical (prefill-only) cache prefix on both paths up
+    # to storage quantization; require agreement there
+    a0 = np.asarray(outs["none"].codes)[0]
+    assert (a0 == b[0]).mean() >= 0.5, (a0, b[0])

@@ -146,6 +146,11 @@ def test_synthesize_batch(tts):
     assert all(r.success for r in results), [r.error_msg for r in results]
     single = tts.synthesize("Hello.", params)
     np.testing.assert_array_equal(results[0].codes, single.codes)
+    # the batched (vmapped single-dispatch) vocode must match the
+    # single-utterance vocode on the same codes and bucket
+    assert len(results[0].audio) == results[0].n_frames * 1920
+    np.testing.assert_allclose(results[0].audio, single.audio,
+                               rtol=2e-3, atol=2e-3)
 
 
 def test_config_from_model_dir_defaults():

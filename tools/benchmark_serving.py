@@ -69,6 +69,15 @@ def main() -> int:
     tokens[:, :32] = rng.integers(2, 150000, size=(B, 32))
     keys = jax.random.split(jax.random.PRNGKey(1), B)
 
+    # bf16 cache is the measured serving default (int8 KV's dequant casts
+    # offset its DMA halving, see pipeline.resolve_kv_quant);
+    # QWEN3TTS_KV_INT8=1 A/Bs the int8 memory tier
+    kv_quant = "none"
+    if (os.environ.get("QWEN3TTS_BENCH_QUANT", "int8") in ("int8", "q4")
+            and os.environ.get("QWEN3TTS_KV_INT8") in ("1", "true", "on")):
+        kv_quant = "int8"
+    print(f"kv_quant: {kv_quant}", file=sys.stderr)
+
     def run_batched(max_frames):
         return decode_loop.generate_from_tokens_batched(
             tp, cp, jnp.asarray(tokens), jnp.full((B,), 32, jnp.int32),
@@ -78,7 +87,7 @@ def main() -> int:
             max_frames=max_frames,
             kv_capacity=-(-(10 + max_frames + 8) // 256) * 256,
             temperature=0.9, top_k=50, repetition_penalty=1.05,
-            allow_eos=False)
+            allow_eos=False, kv_quant=kv_quant)
 
     # allow_eos=False: with synthetic weights EOS is a ~1/2049 random draw
     # per frame per lane; masking it makes the aggregate metric stable
@@ -100,6 +109,31 @@ def main() -> int:
         "wall_s": round(t, 2),
     }))
 
+    # --- batched e2e incl. vocode: generation + vmapped vocoder dispatches
+    # in 16-lane groups (r1 vocoded per-utterance serially: B x ~35 ms
+    # dispatches) ---
+    from qwen3tts_tpu.pipeline import vocode_batched
+
+    def run_vocode_batch(codes, n):
+        return vocode_batched(vp, vcfg, codes, n)
+
+    a = run_vocode_batch(g.codes, jnp.maximum(g.n_frames, 1))  # compile
+    _ = np.asarray(a[:1, :8])
+    t_e2e = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        g = run_batched(args.frames)
+        a = run_vocode_batch(g.codes, jnp.maximum(g.n_frames, 1))
+        _ = np.asarray(a[:, -8:])
+        t_e2e = min(t_e2e, time.perf_counter() - t0)
+    total_frames = int(np.asarray(g.n_frames).sum())
+    print(json.dumps({
+        "scenario": "batched_e2e", "batch": B, "frames_total": total_frames,
+        "frames_per_s": round(total_frames / t_e2e, 1),
+        "audio_rtf": round(total_frames * spf / vcfg.sample_rate / t_e2e, 2),
+        "wall_s": round(t_e2e, 2),
+    }))
+
     if not args.skip_long:
         # long-form: single stream, streaming vocoder with chunked decode
         def run_long(max_frames):
@@ -111,7 +145,7 @@ def main() -> int:
                 max_frames=max_frames,
                 kv_capacity=-(-(10 + max_frames + 8) // 256) * 256,
                 temperature=0.9, top_k=50, repetition_penalty=1.05,
-                allow_eos=False)
+                allow_eos=False, kv_quant=kv_quant)
 
         g = run_long(args.long)
         jax.block_until_ready(g.codes)
