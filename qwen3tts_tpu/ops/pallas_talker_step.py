@@ -478,17 +478,12 @@ def _make_kernel_hbm(cfg, C, *, mode, kv_dtype, lps, with_head, chunk,
             kc = k.astype(cdt)
             vc = v.astype(cdt)
 
-            if kv_int8:
-                # s8xs8 MXU attention: quantize q per row so the score dot
-                # consumes the int8 K slab NATIVELY — a per-element
-                # int8->float cast of the slab costs a (32,128)->(8,128)
-                # sublane relayout (~4-8 VPU ops/element) that was measured
-                # to eat the entire DMA saving; the s8 dot pays none, and
-                # both row scales fold into the [G, chunk] score matrix.
-                q_amax = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
-                q_scale = jnp.maximum(q_amax, 1e-8) * (1.0 / 127.0)  # [Hq,1]
-                q_s8 = jnp.clip(jnp.round(q / q_scale),
-                                -127.0, 127.0).astype(jnp.int8)
+            # int8 cache note: an s8xs8 MXU variant (q/p re-quantized
+            # per row, scales folded into the [G, chunk] score matrix) was
+            # measured SLOWER than this cast-and-dot form (1.944 vs 1.734
+            # ms/step at C=2304 — Mosaic transposes the s8 slab for the NT
+            # dot, re-paying the relayout the s8 dot was meant to avoid), so
+            # int8 reads dequantize via a cdt cast + score-matrix scaling.
 
             def dma(c, slot):
                 off = pl.multiple_of(c * chunk, chunk)
@@ -531,19 +526,12 @@ def _make_kernel_hbm(cfg, C, *, mode, kv_dtype, lps, with_head, chunk,
                 ms, ls, accs = [], [], []
                 for hh in range(Hkv):
                     rows = slice(hh * G, (hh + 1) * G)
+                    s = jax.lax.dot_general(
+                        qc[rows], kv_buf[slot, 0, hh].astype(cdt),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) * scale
                     if kv_int8:
-                        # i32 score at s8 MXU rate; dequant on [G, chunk]
-                        s = jax.lax.dot_general(
-                            q_s8[rows], kv_buf[slot, 0, hh],
-                            (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.int32
-                        ).astype(jnp.float32) * (scale * q_scale[rows])
                         s = s * sc_buf[slot, 0, hh:hh + 1]   # [G,ch]*[1,ch]
-                    else:
-                        s = jax.lax.dot_general(
-                            qc[rows], kv_buf[slot, 0, hh],
-                            (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
                     s = jnp.where(valid, s, NEG_INF)
                     m_new = jnp.maximum(
                         m[hh], jnp.max(s, axis=-1, keepdims=True))
@@ -551,26 +539,11 @@ def _make_kernel_hbm(cfg, C, *, mode, kv_dtype, lps, with_head, chunk,
                     alpha = jnp.exp(m[hh] - m_new)
                     ls.append((alpha * lsum[hh]
                                + jnp.sum(p, axis=-1, keepdims=True))[None])
-                    if kv_int8:
-                        # fold V's row scales into p, then re-quantize p so
-                        # the V dot also consumes the s8 slab natively (p is
-                        # non-negative: scale by the row max)
-                        pv = p * sc_buf[slot, 1, hh:hh + 1]
-                        p_amax = jnp.maximum(
-                            jnp.max(pv, axis=-1, keepdims=True), 1e-30)
-                        p_scale = p_amax * (1.0 / 127.0)
-                        pv_s8 = jnp.round(pv / p_scale).astype(jnp.int8)
-                        upd = jax.lax.dot_general(
-                            pv_s8, kv_buf[slot, 1, hh],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32
-                        ).astype(jnp.float32) * p_scale
-                    else:
-                        upd = jax.lax.dot_general(
-                            p.astype(cdt), kv_buf[slot, 1, hh],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                    accs.append((acc[hh] * alpha + upd)[None])
+                    pv = p * sc_buf[slot, 1, hh:hh + 1] if kv_int8 else p
+                    accs.append((acc[hh] * alpha + jax.lax.dot_general(
+                        pv.astype(cdt), kv_buf[slot, 1, hh].astype(cdt),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))[None])
                     ms.append(m_new[None])
                 return (jnp.concatenate(ms, axis=0),
                         jnp.concatenate(ls, axis=0),

@@ -96,11 +96,11 @@ def resolve_kv_quant(rt, *, kv_capacity: int = 0, batched: bool = False) -> str:
     halves the slab DMA, but every fetched int8 element pays a VPU cast with
     a (32,128)->(8,128) relayout that eats the saving — v3 batched B=64
     measured 18.6 vs 10.1 ms/frame-set, v2 long-form C=2304 a noise-level
-    1.734 vs 1.758 ms/step (tools/smoke_kv_int8.py). int8 stays a correct,
+    1.734 vs 1.758 ms/step, and an s8xs8 MXU variant measured worse still
+    at 1.944 (tools/smoke_kv_int8.py, CLAUDE.md). int8 stays a correct,
     opt-in MEMORY tier (halves cache footprint; QWEN3TTS_KV_INT8=1 or
-    RuntimeConfig.kv_quant="int8") until the s8xs8 MXU attention path (dots
-    directly on int8 slabs, scales folded into the score matrix) makes it a
-    speed win. Requires quantized weights (the fused talker path)."""
+    RuntimeConfig.kv_quant="int8"). Requires quantized weights (the fused
+    talker path)."""
     env = os.environ.get("QWEN3TTS_KV_INT8")
     if env in ("0", "false", "off"):
         return "none"
