@@ -770,6 +770,162 @@ _BATCHED_KV_CHUNK = 32
 _BATCHED_KV_CHUNK_INT8 = 128
 
 
+def _make_kernel_batched_lane(cfg, B, C, *, mode, kv_dtype, with_head, chunk):
+    """Lane-major variant: cache [L, 2, Hkv, C, B, D]. Each per-trip
+    (kv, head) DMA is one contiguous chunk*B*D run (~512 KB at chunk=32)
+    instead of the batch-major layout's B strided 8 KB blocks. Measured on
+    hardware (B=64, C=512): faster at shallow history (3.42 vs 3.70
+    ms/frame-set averaged over steps 0..100) but slower at deep (7.29 vs
+    7.06 over 0..400) — the contiguous slab's [chunk, B, D] compute layout
+    pays more VPU relayout per score than the DMA saves once the slab is
+    large. Net e2e serving: a wash; kept as the opt-in
+    QWEN3TTS_BATCHED_KV_LAYOUT=lane tier for short-utterance workloads."""
+    H = cfg.hidden_size
+    L = cfg.n_layers
+    Hq, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    G = Hq // Hkv
+    F = cfg.intermediate_size
+    eps = cfg.rms_norm_eps
+    scale = D ** -0.5
+    mm = _make_mm(mode)
+
+    def kernel(n_past_ref, x_in_ref, cos_ref, sin_ref,
+               attn_n_ref, q_n_ref, k_n_ref, ffn_n_ref,
+               wqkv_q, wqkv_s, wo_q, wo_s, wgu_q, wgu_s, wd_q, wd_s,
+               *rest):
+        rest = list(rest)
+        if with_head:
+            out_n_ref, head_ref = rest[0], rest[1]
+            del rest[:2]
+        kv_hbm = rest.pop(0)
+        kvrow_ref = rest.pop(0)
+        hid_ref = rest.pop(0)
+        logits_ref = rest.pop(0) if with_head else None
+        x_ref, o_ref, kv_buf, sem = rest[:4]
+
+        l = pl.program_id(0)
+        n_past = n_past_ref[0, 0]
+        trip = lax.div(n_past + (chunk - 1), jnp.int32(chunk))
+
+        @pl.when(l == 0)
+        def _():
+            x_ref[...] = x_in_ref[...].astype(jnp.float32)
+
+        x = x_ref[...]                                   # [B, H] f32
+        cos = cos_ref[...].astype(jnp.float32)           # [1, D/2]
+        sin = sin_ref[...].astype(jnp.float32)
+
+        def rope(t):                                     # [B, D]
+            half = D // 2
+            t1, t2 = t[:, :half], t[:, half:]
+            return jnp.concatenate(
+                [t1 * cos - t2 * sin, t1 * sin + t2 * cos], axis=-1)
+
+        h = _rms(x, attn_n_ref[l], eps)
+        qkv = mm(h, wqkv_q, wqkv_s, 0)                   # [B, QKV] f32
+
+        def head(i):
+            return qkv[:, i * D:(i + 1) * D]
+
+        qs, ks, vs = [], [], []
+        for i in range(Hq):
+            qs.append(rope(_rms(head(i), q_n_ref[l], eps)))
+        for i in range(Hkv):
+            ks.append(rope(_rms(head(Hq + i), k_n_ref[l], eps)))
+            vs.append(head(Hq + Hkv + i))
+
+        for i in range(Hkv):
+            kvrow_ref[0, :, 0, i] = ks[i].astype(kv_dtype)
+            kvrow_ref[0, :, 1, i] = vs[i].astype(kv_dtype)
+
+        def dma(c, slot):
+            off = pl.multiple_of(c * chunk, chunk)
+            return pltpu.make_async_copy(
+                kv_hbm.at[l, :, :, pl.ds(off, chunk), :, :],
+                kv_buf.at[slot], sem.at[slot])
+
+        @pl.when(trip > 0)
+        def _():
+            dma(jnp.int32(0), jnp.int32(0)).start()
+
+        # flash state stacked [Hq, B, *]; the slab is [2, Hkv, chunk, B, D]
+        # so per-head scores live [chunk, B] (softmax over axis 0)
+        def chunk_body(c, carry):
+            m, lsum, acc = carry
+            slot = lax.rem(c, 2)
+
+            @pl.when(c + 1 < trip)
+            def _():
+                dma(c + 1, 1 - slot).start()
+
+            dma(c, slot).wait()
+            col = c * chunk + lax.broadcasted_iota(jnp.int32, (chunk, B), 0)
+            valid = col < n_past                          # [chunk, B]
+            ms, ls, accs = [], [], []
+            for hh in range(Hkv):
+                kc = kv_buf[slot, 0, hh].astype(jnp.float32)   # [ch, B, D]
+                vc = kv_buf[slot, 1, hh].astype(jnp.float32)
+                for g in range(G):
+                    i = hh * G + g
+                    q_i = qs[i].astype(kv_dtype).astype(jnp.float32)  # [B, D]
+                    s = jnp.sum(q_i[None] * kc, axis=-1) * scale
+                    s = jnp.where(valid, s, NEG_INF)      # [chunk, B]
+                    m_new = jnp.maximum(m[i], jnp.max(s, axis=0)[:, None])
+                    p = jnp.exp(s - m_new[:, 0][None, :])  # [chunk, B]
+                    alpha = jnp.exp(m[i] - m_new)          # [B, 1]
+                    ls.append((alpha * lsum[i]
+                               + jnp.sum(p, axis=0)[:, None])[None])
+                    accs.append((acc[i] * alpha + jnp.sum(
+                        p[:, :, None] * vc, axis=0))[None])
+                    ms.append(m_new[None])
+            return (jnp.concatenate(ms, axis=0),
+                    jnp.concatenate(ls, axis=0),
+                    jnp.concatenate(accs, axis=0))
+
+        m0 = jnp.full((Hq, B, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((Hq, B, 1), jnp.float32)
+        a0 = jnp.zeros((Hq, B, D), jnp.float32)
+        m, lsum, acc = lax.fori_loop(0, trip, chunk_body, (m0, l0, a0))
+
+        # fold in the current step's K/V as one extra attention column
+        for hh in range(Hkv):
+            kc = ks[hh].astype(kv_dtype).astype(jnp.float32)      # [B, D]
+            vc = vs[hh].astype(kv_dtype).astype(jnp.float32)
+            for g in range(G):
+                i = hh * G + g
+                q_i = qs[i].astype(kv_dtype).astype(jnp.float32)
+                s_cur = jnp.sum(q_i * kc, axis=-1, keepdims=True) * scale
+                m_fin = jnp.maximum(m[i], s_cur)
+                p_cur = jnp.exp(s_cur - m_fin)
+                alpha = jnp.exp(m[i] - m_fin)
+                l_fin = alpha * lsum[i] + p_cur
+                o = (acc[i] * alpha + p_cur * vc) / jnp.maximum(l_fin, 1e-30)
+                o_ref[:, i * D:(i + 1) * D] = o           # [B, D] lane slice
+
+        x = x + mm(o_ref[...], wo_q, wo_s, 0)
+        hff = _rms(x, ffn_n_ref[l], eps)
+        gu = mm(hff, wgu_q, wgu_s, 0)
+        gate = gu[:, :F]
+        gate = gate / (1.0 + jnp.exp(-gate))
+        x = x + mm(gate * gu[:, F:], wd_q, wd_s, 0)
+
+        x_ref[...] = x
+
+        if with_head:
+            @pl.when(l == pl.num_programs(0) - 1)
+            def _():
+                normed = _rms(x_ref[...], out_n_ref[...], eps)
+                hid_ref[...] = normed
+                logits_ref[...] = jax.lax.dot_general(
+                    normed.astype(head_ref.dtype), head_ref[...],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        else:
+            hid_ref[...] = x
+
+    return kernel
+
+
 def _make_kernel_batched(cfg, B, C, *, mode, kv_dtype, with_head, chunk,
                          kv_int8=False):
     H = cfg.hidden_size
@@ -947,18 +1103,19 @@ def _make_kernel_batched(cfg, B, C, *, mode, kv_dtype, with_head, chunk,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "mode", "chunk", "interpret"))
+    "cfg", "mode", "chunk", "kv_layout", "interpret"))
 def fused_talker_step_batched(
     blocks,                    # BlockParams with QuantLinear projections
     cfg,                       # TalkerConfig
     step_embd: jnp.ndarray,    # [B, H]
     n_past: jnp.ndarray,       # scalar int32 (lockstep across lanes)
-    kv: jnp.ndarray,           # [B, L, 2, Hkv, C, D]
+    kv: jnp.ndarray,           # see kv_layout
     *,
     output_norm: jnp.ndarray | None = None,
     codec_head: jnp.ndarray | None = None,
     mode: str = "w8a8",
     chunk: int = _BATCHED_KV_CHUNK,
+    kv_layout: str = "batch",
     interpret: bool = False,
 ):
     """One talker decode step for B lockstep lanes, KV in HBM.
@@ -966,18 +1123,30 @@ def fused_talker_step_batched(
     Returns (hidden [B, H] f32, kv) or (normed_hidden, logits [B, Vc], kv)
     with each lane's cache row at n_past updated.
 
-    kv may be the dense [B, L, 2, Hkv, C, D] cache or an int8 (q, scale)
-    pair — at B=64 the per-lane valid-prefix DMA dominates the kernel, so
-    int8 halves its main cost and halves the cache footprint (B=128 fits)."""
+    kv_layout:
+      - "batch": cache [B, L, 2, Hkv, C, D] (also the int8 (q, scale) form —
+        the scale slab's lane-dim DMA rule pins its layout). The serving
+        default: per-trip DMA gathers B*2*Hkv strided 8 KB blocks.
+      - "lane": cache [L, 2, Hkv, C, B, D] — each (kv, head) is one
+        contiguous chunk*B*D run per trip. Opt-in
+        (QWEN3TTS_BATCHED_KV_LAYOUT=lane): wins ~8% at shallow history,
+        loses ~3% deep; e2e serving a wash (see _make_kernel_batched_lane).
+    """
     if jax.default_backend() == "cpu":
         interpret = True
     kv_int8 = isinstance(kv, tuple)
     kv_arr = kv[0] if kv_int8 else kv
     row_dtype = jnp.bfloat16 if kv_int8 else kv_arr.dtype
+    lane_major = kv_layout == "lane"
+    assert not (kv_int8 and lane_major), \
+        "int8 KV requires the batch-major layout (scale-slab DMA alignment)"
     H, L = cfg.hidden_size, cfg.n_layers
     Hq, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     F = cfg.intermediate_size
-    B, C = kv_arr.shape[0], kv_arr.shape[4]
+    if lane_major:
+        C, B = kv_arr.shape[3], kv_arr.shape[4]
+    else:
+        B, C = kv_arr.shape[0], kv_arr.shape[4]
     half = D // 2
     QKV = (Hq + 2 * Hkv) * D
     if kv_int8:
@@ -993,9 +1162,14 @@ def fused_talker_step_batched(
               * cfg.rope_theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half))
     cos, sin = jnp.cos(angles)[None, :], jnp.sin(angles)[None, :]
 
-    kernel = _make_kernel_batched(cfg, B, C, mode=mode, kv_dtype=row_dtype,
-                                  with_head=with_head, chunk=chunk,
-                                  kv_int8=kv_int8)
+    if lane_major:
+        kernel = _make_kernel_batched_lane(
+            cfg, B, C, mode=mode, kv_dtype=row_dtype, with_head=with_head,
+            chunk=chunk)
+    else:
+        kernel = _make_kernel_batched(
+            cfg, B, C, mode=mode, kv_dtype=row_dtype, with_head=with_head,
+            chunk=chunk, kv_int8=kv_int8)
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def blk(shape):
@@ -1043,10 +1217,12 @@ def fused_talker_step_batched(
             pl.BlockSpec((B, Vc), lambda g: (0, 0), memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((B, Vc), jnp.float32))
 
+    slab_shape = ((2, 2, Hkv, chunk, B, D) if lane_major
+                  else (2, B, 2, Hkv, chunk, D))
     scratch = [
         pltpu.VMEM((B, H), jnp.float32),                 # x carry
         pltpu.VMEM((B, Hq * D), jnp.float32),            # attn out
-        pltpu.VMEM((2, B, 2, Hkv, chunk, D), kv_arr.dtype),  # KV slab x2
+        pltpu.VMEM(slab_shape, kv_arr.dtype),            # KV slab x2
         pltpu.SemaphoreType.DMA((2,)),
     ]
     if kv_int8:
@@ -1070,19 +1246,22 @@ def fused_talker_step_batched(
     )(*operands)
 
     # scatter each lane's new K/V rows at n_past: one in-place update
-    rows = outs[0].transpose(1, 0, 2, 3, 4).reshape(B, L, 2, Hkv, 1, D)
-    if kv_int8:
+    n0 = jnp.asarray(n_past, jnp.int32)
+    if lane_major:
+        rows = outs[0].transpose(0, 2, 3, 1, 4).reshape(L, 2, Hkv, 1, B, D)
+        kv_new = lax.dynamic_update_slice(kv, rows, (0, 0, 0, n0, 0, 0))
+    elif kv_int8:
         from .kv_quant import quantize_kv
 
+        rows = outs[0].transpose(1, 0, 2, 3, 4).reshape(B, L, 2, Hkv, 1, D)
         rq, rs = quantize_kv(rows)
-        n0 = jnp.asarray(n_past, jnp.int32)
         kv_new = (
             lax.dynamic_update_slice(kv[0], rq, (0, 0, 0, 0, n0, 0)),
             lax.dynamic_update_slice(kv[1], rs, (0, 0, 0, 0, n0)),
         )
     else:
-        kv_new = lax.dynamic_update_slice(
-            kv, rows, (0, 0, 0, 0, jnp.asarray(n_past, jnp.int32), 0))
+        rows = outs[0].transpose(1, 0, 2, 3, 4).reshape(B, L, 2, Hkv, 1, D)
+        kv_new = lax.dynamic_update_slice(kv, rows, (0, 0, 0, 0, n0, 0))
     if with_head:
         return outs[1], outs[2], kv_new
     return outs[1], kv_new

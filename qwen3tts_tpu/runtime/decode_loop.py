@@ -23,6 +23,7 @@ Per frame (matching generate() semantics exactly):
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import NamedTuple
 
 import jax
@@ -491,10 +492,22 @@ def _generate_batched_fused(
     last_hidden, logits, kv = jax.vmap(
         lambda pe: talker_model.talker_prefill(talker_params, talker_cfg, pe, kv0)
     )(prefill.prefill_embd)
-    if kv_quant == "int8" and _resolve_fused_talker("auto", talker_params):
+    use_fused_talker = _resolve_fused_talker("auto", talker_params)
+    # opt-in lane-major cache [L, 2, Hkv, C, B, D] for the batched fused
+    # kernel: each per-trip (kv, head) DMA is one contiguous chunk*B*D run
+    # instead of B strided 8 KB blocks. Measured (B=64 C=512): wins at
+    # shallow history (3.42 vs 3.70 ms/frame-set over steps 0..100), loses
+    # at deep (7.29 vs 7.06 over 0..400), e2e serving a wash (7734 vs 7750
+    # aggregate f/s) — so batch-major stays the default; int8 KV requires it
+    # (the scale slab's lane dim pins the layout).
+    lane_kv = (use_fused_talker and kv_quant != "int8"
+               and _os.environ.get("QWEN3TTS_BATCHED_KV_LAYOUT", "batch") == "lane")
+    if kv_quant == "int8" and use_fused_talker:
         from ..ops.kv_quant import quantize_kv
 
         kv = quantize_kv(kv)
+    elif lane_kv:
+        kv = kv.transpose(1, 2, 3, 4, 0, 5)
 
     state = _BatchedState(
         it=jnp.int32(0),
@@ -509,7 +522,6 @@ def _generate_batched_fused(
         keys=keys,
         done=jnp.zeros((B,), jnp.bool_),
     )
-    rows = jnp.arange(B)
 
     def body(s: _BatchedState) -> _BatchedState:
         eos_for_mask = talker_cfg.codec_eos_id if allow_eos else -1
@@ -527,7 +539,14 @@ def _generate_batched_fused(
             s.done, jnp.logical_and(cb0 == talker_cfg.codec_eos_id, allow_eos))
         emit = ~done
 
-        cb0_embd = talker_params.codec_embd[cb0]            # [B, H]
+        # one-hot matmul instead of a per-lane row gather: 64 dynamic-slice
+        # gathers from the [Vc, H] table lower poorly; [B, Vc] @ [Vc, H] is
+        # one small MXU dot
+        onehot_cb0 = (cb0[:, None] == jnp.arange(Vc)[None, :])
+        cb0_embd = jax.lax.dot_general(
+            onehot_cb0.astype(dtype), talker_params.codec_embd,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dtype)   # [B, H]
         seeds = jax.vmap(lambda kk: lax.bitcast_convert_type(
             jax.random.bits(kk, (), "uint32"), jnp.int32))(k_cp)   # [B]
         rest, rest_sum = fused_predict_codes_batched(
@@ -536,19 +555,37 @@ def _generate_batched_fused(
             greedy=greedy, use_top_p=use_top_p)
         frame_codes = jnp.concatenate([cb0[:, None], rest], axis=1)
 
-        old_codes = s.codes[rows, s.frame]
-        codes = s.codes.at[rows, s.frame].set(
-            jnp.where(emit[:, None], frame_codes, old_codes))
-        old_h = s.hidden_out[rows, s.frame]
-        hidden_out = s.hidden_out.at[rows, s.frame].set(
-            jnp.where(emit[:, None], s.last_hidden.astype(s.hidden_out.dtype), old_h))
-        seen = s.seen.at[rows, cb0].set(s.seen[rows, cb0] | emit)
+        # lanes are LOCKSTEP (frame[b] == it for every never-done lane), so
+        # the emission writes land at column `it` as ONE dynamic_update_slice
+        # instead of per-lane scatters; done lanes' masked writes re-write
+        # the unwritten zeros at column it (their frame froze earlier) — a
+        # no-op, preserving per-lane scatter semantics exactly
+        codes = lax.dynamic_update_slice(
+            s.codes,
+            jnp.where(emit[:, None, None], frame_codes[:, None, :],
+                      lax.dynamic_slice(
+                          s.codes, (0, s.it, 0),
+                          (B, 1, talker_cfg.n_codebooks))),
+            (0, s.it, 0))
+        h_row = s.last_hidden.astype(s.hidden_out.dtype)[:, None, :]
+        hidden_out = lax.dynamic_update_slice(
+            s.hidden_out,
+            jnp.where(emit[:, None, None], h_row,
+                      lax.dynamic_slice(s.hidden_out, (0, s.it, 0), (B, 1, H))),
+            (0, s.it, 0))
+        seen = s.seen | (onehot_cb0 & emit[:, None])
 
-        trailing_row = prefill.trailing[rows, jnp.minimum(s.frame, Trb - 1)]
+        # trailing row via masked reduction (per-lane dynamic row of
+        # [B, Trb, H] — gather-free; Trb is a small bucket)
+        t_idx = jnp.minimum(s.frame, Trb - 1)                  # [B]
+        t_mask = (jnp.arange(Trb)[None, :] == t_idx[:, None])  # [B, Trb]
+        trailing_row = jnp.sum(
+            jnp.where(t_mask[:, :, None], prefill.trailing, 0).astype(jnp.float32),
+            axis=1)
         step_embd = (cb0_embd.astype(jnp.float32) + rest_sum
-                     + trailing_row.astype(jnp.float32)).astype(dtype)
+                     + trailing_row).astype(dtype)
 
-        if _resolve_fused_talker("auto", talker_params):
+        if use_fused_talker:
             # v3 batched kernel: weights streamed once for ALL lanes (M=B
             # int8 MXU dots), per-lane valid-prefix KV DMA, VPU flash
             # attention. Measured 18.4 -> 3.7 ms/frame-set at B=64, C=512
@@ -558,7 +595,8 @@ def _generate_batched_fused(
             hidden_f32, logits, kv = fused_talker_step_batched(
                 talker_params.blocks, talker_cfg, step_embd, s.n_past, s.kv,
                 output_norm=talker_params.output_norm,
-                codec_head=talker_params.codec_head)
+                codec_head=talker_params.codec_head,
+                kv_layout="lane" if lane_kv else "batch")
             hidden = hidden_f32.astype(dtype)
         else:
             # "carried" KV strategy: under vmap the sliced scheme's per-layer

@@ -276,6 +276,45 @@ def test_batched_kernel_head_and_w8a8(setup):
     assert np.isfinite(np.asarray(lq)).all()
 
 
+@pytest.mark.parametrize("n_past", [0, 7, 31])
+def test_batched_kernel_lane_layout_matches_batch_layout(setup, n_past):
+    """kv_layout="lane" ([L,2,Hkv,C,B,D]) matches the batch-major kernel on
+    the same cache contents, with and without head fusion."""
+    cfg, params, qblocks, deq_blocks, kv, x = setup
+    B = 4
+    keys = jax.random.split(jax.random.PRNGKey(29), B)
+    xb = jax.vmap(lambda k: jax.random.normal(
+        k, (cfg.hidden_size,), jnp.float32))(keys)
+    kvb = jnp.stack([jnp.zeros_like(kv) if n_past == 0 else kv * (i + 1) * 0.2
+                     for i in range(B)])
+    kvl = kvb.transpose(1, 2, 3, 4, 0, 5)   # [L, 2, Hkv, C, B, D]
+
+    hb, kvb_out = pts.fused_talker_step_batched(
+        qblocks, cfg, xb, jnp.int32(n_past), kvb, mode="dequant", chunk=8,
+        interpret=True)
+    hl, kvl_out = pts.fused_talker_step_batched(
+        qblocks, cfg, xb, jnp.int32(n_past), kvl, mode="dequant", chunk=8,
+        kv_layout="lane", interpret=True)
+    np.testing.assert_allclose(np.asarray(hl), np.asarray(hb),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(kvl_out.transpose(4, 0, 1, 2, 3, 5)), np.asarray(kvb_out),
+        rtol=2e-4, atol=2e-4)
+
+    hbh, lbh, _ = pts.fused_talker_step_batched(
+        qblocks, cfg, xb, jnp.int32(n_past), kvb, mode="dequant", chunk=8,
+        output_norm=params.output_norm, codec_head=params.codec_head,
+        interpret=True)
+    hlh, llh, _ = pts.fused_talker_step_batched(
+        qblocks, cfg, xb, jnp.int32(n_past), kvl, mode="dequant", chunk=8,
+        output_norm=params.output_norm, codec_head=params.codec_head,
+        kv_layout="lane", interpret=True)
+    np.testing.assert_allclose(np.asarray(hlh), np.asarray(hbh),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(llh), np.asarray(lbh),
+                               rtol=2e-3, atol=2e-3)
+
+
 # ---------------------------------------------------------------------------
 # int8 KV cache (ops/kv_quant.py + kv_int8 kernel variants)
 # ---------------------------------------------------------------------------

@@ -35,6 +35,9 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--cap", type=int, default=512)
     ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--layout", choices=["batch", "lane", "both"],
+                    default="batch")
+    ap.add_argument("--skip-xla", action="store_true")
     args = ap.parse_args()
     B, C, N = args.batch, args.cap, args.steps
 
@@ -98,6 +101,15 @@ def main() -> None:
         return jax.lax.fori_loop(0, N, body, (x, kv))
 
     @jax.jit
+    def run_v3_lane(qblocks, x, kv):
+        def body(i, carry):
+            x, kv = carry
+            h, kv = fused_talker_step_batched(qblocks, cfg, x, i, kv,
+                                              kv_layout="lane")
+            return (h.astype(x.dtype), kv)
+        return jax.lax.fori_loop(0, N, body, (x, kv))
+
+    @jax.jit
     def run_xla(qparams, x, kv):
         def body(i, carry):
             x, kv = carry
@@ -106,14 +118,21 @@ def main() -> None:
             return (h.astype(x.dtype), kv)
         return jax.lax.fori_loop(0, N, body, (x, kv))
 
-    for name, fn, arg in [("v3 batched kernel", run_v3, qblocks),
-                          ("XLA vmapped      ", run_xla, qparams)]:
-        out = jax.block_until_ready(fn(arg, x, kv))
+    kv_lane = kv.transpose(1, 2, 3, 4, 0, 5)  # [L, 2, Hkv, C, B, D]
+    runs = []
+    if args.layout in ("batch", "both"):
+        runs.append(("v3 batched kernel", run_v3, qblocks, kv))
+    if args.layout in ("lane", "both"):
+        runs.append(("v3 lane-major    ", run_v3_lane, qblocks, kv_lane))
+    if not args.skip_xla:
+        runs.append(("XLA vmapped      ", run_xla, qparams, kv))
+    for name, fn, arg, kv0 in runs:
+        out = jax.block_until_ready(fn(arg, x, kv0))
         best = float("inf")
         for _ in range(3):
             del out
             t0 = time.perf_counter()
-            out = fn(arg, x, kv)
+            out = fn(arg, x, kv0)
             _ = np.asarray(out[0][:1])
             best = min(best, (time.perf_counter() - t0) / N)
         agg = B / best
