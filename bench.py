@@ -113,6 +113,16 @@ def main() -> None:
         kv1 = jnp.zeros((tcfg.n_layers, 2, tcfg.n_kv_heads, KV, tcfg.head_dim),
                         jnp.bfloat16)
         Bs = 4
+        Vc = tcfg.codec_vocab_size
+        # in-kernel cb0 sampling epilogue args (the default decode-loop path)
+        samp1 = dict(seen=jnp.zeros((Vc,), jnp.bool_), seeds=jnp.int32(7),
+                     temperature=sampling["temperature"], top_p=1.0,
+                     repetition_penalty=sampling["repetition_penalty"],
+                     top_k=sampling["top_k"],
+                     suppress_start=Vc - tcfg.n_suppressed_tail,
+                     eos_id=tcfg.codec_eos_id)
+        sampB = dict(samp1, seen=jnp.zeros((Bs, Vc), jnp.bool_),
+                     seeds=jnp.zeros((Bs,), jnp.int32))
         smokes = [
             ("talker_v1", lambda: fused_talker_step(
                 tp.blocks, tcfg, x1, jnp.int32(3), kv1,
@@ -135,6 +145,21 @@ def main() -> None:
                 _qkv(jnp.zeros((Bs, tcfg.n_layers, 2, tcfg.n_kv_heads, 512,
                                 tcfg.head_dim), jnp.bfloat16)),
                 output_norm=tp.output_norm, codec_head=tp.codec_head)[0]),
+            ("talker_v1_cb0", lambda: fused_talker_step(
+                tp.blocks, tcfg, x1, jnp.int32(3), kv1,
+                output_norm=tp.output_norm, codec_head=tp.codec_head,
+                **samp1)[1]),
+            ("talker_v2_hbm_cb0", lambda: fused_talker_step_hbm(
+                tp.blocks, tcfg, x1, jnp.int32(3), kv1,
+                output_norm=tp.output_norm, codec_head=tp.codec_head,
+                **samp1)[1]),
+            ("talker_v3_batched_cb0", lambda: fused_talker_step_batched(
+                tp.blocks, tcfg, jnp.zeros((Bs, tcfg.hidden_size), jnp.bfloat16),
+                jnp.int32(3),
+                jnp.zeros((Bs, tcfg.n_layers, 2, tcfg.n_kv_heads, 512,
+                           tcfg.head_dim), jnp.bfloat16),
+                output_norm=tp.output_norm, codec_head=tp.codec_head,
+                **sampB)[1]),
             ("cp_fused", lambda: fused_predict_codes(
                 cp, ccfg, x1, x1, jnp.int32(0),
                 temperature=sampling["temperature"],

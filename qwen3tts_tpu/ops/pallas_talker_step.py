@@ -153,7 +153,54 @@ def _weight_specs_and_operands(blocks, blk, grp):
     return specs, ops
 
 
-def _make_kernel(cfg, C, *, mode, kv_dtype, lps, with_head):
+def _sample_cfg(codec_head, top_k, suppress_start, eos_id, greedy, use_top_p):
+    """Static config for the in-kernel cb0 sampling epilogue."""
+    from .kernel_prng import make_sampler
+
+    Vc = codec_head.shape[-1]
+    return {
+        "fn": make_sampler(top_k, Vc, greedy=greedy, use_top_p=use_top_p),
+        "suppress_start": Vc if suppress_start is None else suppress_start,
+        "eos_id": eos_id,
+    }
+
+
+def _sample_epilogue(logits, seen_ref, samp_ref, seed_ref, sample, out_ref):
+    """cb0 sampling on in-VMEM logits [R, Vc]: suppression of
+    [suppress_start, Vc) except eos_id, HF repetition penalty over the seen
+    mask, then the shared counter-hash temp/top-k/top-p sampler
+    (semantics: ops/sampling.{apply_suppression,apply_repetition_penalty,
+    sample_token}). Writes int32 [R, 1] token ids to out_ref."""
+    R, Vc = logits.shape
+    ids = lax.broadcasted_iota(jnp.int32, (R, Vc), 1)
+    smask = jnp.logical_and(ids >= sample["suppress_start"],
+                            ids != sample["eos_id"])
+    logits = jnp.where(smask, NEG_INF, logits)
+    pen = samp_ref[0, 2]
+    seen = seen_ref[...] != 0
+    penalized = jnp.where(logits > 0.0, logits / pen, logits * pen)
+    logits = jnp.where(seen, penalized, logits)
+    out_ref[...] = sample["fn"](
+        logits, samp_ref[0, 0], samp_ref[0, 1], seed_ref[...], jnp.int32(0))
+
+
+def _sample_operands(seen, seeds, temperature, top_p, repetition_penalty):
+    """(specs, operands) for the sampling epilogue's three extra inputs."""
+    R = seen.shape[0]
+    samp = jnp.stack([
+        jnp.asarray(temperature, jnp.float32),
+        jnp.asarray(top_p, jnp.float32),
+        jnp.asarray(repetition_penalty, jnp.float32),
+        jnp.float32(0.0)]).reshape(1, 4)
+    specs = [pl.BlockSpec(memory_space=pltpu.VMEM),
+             pl.BlockSpec(memory_space=pltpu.SMEM),
+             pl.BlockSpec(memory_space=pltpu.VMEM)]
+    ops = [seen.astype(jnp.int8), samp,
+           jnp.asarray(seeds, jnp.int32).reshape(R, 1)]
+    return specs, ops
+
+
+def _make_kernel(cfg, C, *, mode, kv_dtype, lps, with_head, sample=None):
     H = cfg.hidden_size
     L = cfg.n_layers
     Hq, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -167,13 +214,16 @@ def _make_kernel(cfg, C, *, mode, kv_dtype, lps, with_head):
                attn_n_ref, q_n_ref, k_n_ref, ffn_n_ref,
                wqkv_q, wqkv_s, wo_q, wo_s, wgu_q, wgu_s, wd_q, wd_s,
                *rest):
+        rest = list(rest)
         if with_head:
-            (out_n_ref, head_ref, kv_in_ref,
-             kv_out_ref, hid_ref, logits_ref,
-             x_ref, sc_heads, sc_flat) = rest
-        else:
-            (kv_in_ref, kv_out_ref, hid_ref,
-             x_ref, sc_heads, sc_flat) = rest
+            out_n_ref, head_ref = rest[0], rest[1]
+            del rest[:2]
+            if sample is not None:
+                seen_ref, samp_ref, seed_ref = rest[0], rest[1], rest[2]
+                del rest[:3]
+        (kv_in_ref, kv_out_ref, hid_ref) = rest[:3]
+        logits_ref = rest[3] if with_head else None
+        x_ref, sc_heads, sc_flat = rest[(4 if with_head else 3):]
 
         g = pl.program_id(0)
         n_past = n_past_ref[0, 0]
@@ -251,10 +301,15 @@ def _make_kernel(cfg, C, *, mode, kv_dtype, lps, with_head):
             def _():
                 normed = _rms(x_ref[...], out_n_ref[...], eps)
                 hid_ref[...] = normed
-                logits_ref[...] = jax.lax.dot_general(
+                logits = jax.lax.dot_general(
                     normed.astype(head_ref.dtype), head_ref[...],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
+                if sample is None:
+                    logits_ref[...] = logits
+                else:
+                    _sample_epilogue(logits, seen_ref, samp_ref, seed_ref,
+                                     sample, logits_ref)
         else:
             hid_ref[...] = x
 
@@ -262,7 +317,8 @@ def _make_kernel(cfg, C, *, mode, kv_dtype, lps, with_head):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "mode", "layers_per_step", "interpret"))
+    "cfg", "mode", "layers_per_step", "top_k", "suppress_start", "eos_id",
+    "greedy", "use_top_p", "interpret"))
 def fused_talker_step(
     blocks,                    # BlockParams with QuantLinear projections
     cfg,                       # TalkerConfig
@@ -274,13 +330,26 @@ def fused_talker_step(
     codec_head: jnp.ndarray | None = None,    # [H, Vc]
     mode: str = "w8a8",
     layers_per_step: int = DEFAULT_LAYERS_PER_STEP,
+    seen: jnp.ndarray | None = None,       # [Vc] bool — enables cb0 sampling
+    seeds: jnp.ndarray | None = None,      # scalar int32 counter-hash seed
+    temperature=1.0, top_p=1.0, repetition_penalty=1.0,   # traced scalars
+    top_k: int = 0,
+    suppress_start: int | None = None,
+    eos_id: int = -1,
+    greedy: bool = False,
+    use_top_p: bool = True,
     interpret: bool = False,
 ):
     """One talker decode step through all layers.
 
     Returns (hidden [H] f32, kv) — hidden is pre-output-norm; or, when
     output_norm/codec_head are given, (normed_hidden [H] f32,
-    logits [Vc] f32, kv)."""
+    logits [Vc] f32, kv).
+
+    When `seen` is given (requires codec_head), the kernel samples NEXT
+    frame's codebook-0 token in its head epilogue (see _sample_epilogue)
+    and returns (normed_hidden, cb0 scalar int32, kv) — the logits never
+    leave the kernel."""
     if jax.default_backend() == "cpu":
         interpret = True   # CPU has no Mosaic: tests force the fused path
     H, L = cfg.hidden_size, cfg.n_layers
@@ -292,13 +361,20 @@ def fused_talker_step(
     lps = layers_per_step if L % layers_per_step == 0 else 1
     with_head = codec_head is not None
     mode = _weight_mode(blocks, mode)
+    sample_cb0 = seen is not None
+    if sample_cb0:
+        assert with_head, "cb0 sampling needs codec_head"
+        sample = _sample_cfg(codec_head, top_k, suppress_start, eos_id,
+                             greedy, use_top_p)
+    else:
+        sample = None
 
     angles = (jnp.asarray(n_past, jnp.float32)
               * cfg.rope_theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half))
     cos, sin = jnp.cos(angles)[None, :], jnp.sin(angles)[None, :]
 
     kernel = _make_kernel(cfg, C, mode=mode, kv_dtype=kv.dtype, lps=lps,
-                          with_head=with_head)
+                          with_head=with_head, sample=sample)
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def blk(shape):
@@ -327,6 +403,12 @@ def fused_talker_step(
         Vc = codec_head.shape[-1]
         in_specs += [vmem_full, vmem_full]
         operands += [output_norm.reshape(1, H), codec_head]
+        if sample_cb0:
+            sspecs, sops = _sample_operands(
+                seen.reshape(1, -1), seeds, temperature, top_p,
+                repetition_penalty)
+            in_specs += sspecs
+            operands += sops
     kv_operand_index = len(operands)
     in_specs.append(blk((2, Hkv, C, D)))
     operands.append(grp(kv))
@@ -339,7 +421,11 @@ def fused_talker_step(
         jax.ShapeDtypeStruct((L // lps, lps) + kv.shape[1:], kv.dtype),
         jax.ShapeDtypeStruct((1, H), jnp.float32),
     ]
-    if with_head:
+    if with_head and sample_cb0:
+        out_specs.append(
+            pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.int32))
+    elif with_head:
         out_specs.append(
             pl.BlockSpec((1, Vc), lambda g: (0, 0), memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((1, Vc), jnp.float32))
@@ -366,6 +452,8 @@ def fused_talker_step(
     )(*operands)
 
     kv_new = outs[0].reshape(kv.shape)
+    if with_head and sample_cb0:
+        return outs[1][0], outs[2][0, 0], kv_new
     if with_head:
         return outs[1][0], outs[2][0], kv_new
     return outs[1][0], kv_new
@@ -406,7 +494,7 @@ def _int8_chunk(C: int, chunk: int) -> int:
 
 
 def _make_kernel_hbm(cfg, C, *, mode, kv_dtype, lps, with_head, chunk,
-                     kv_int8=False):
+                     kv_int8=False, sample=None):
     H = cfg.hidden_size
     L = cfg.n_layers
     Hq, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -428,6 +516,9 @@ def _make_kernel_hbm(cfg, C, *, mode, kv_dtype, lps, with_head, chunk,
         if with_head:
             out_n_ref, head_ref = rest[0], rest[1]
             del rest[:2]
+            if sample is not None:
+                seen_ref, samp_ref, seed_ref = rest[0], rest[1], rest[2]
+                del rest[:3]
         kv_hbm = rest.pop(0)
         kvs_hbm = rest.pop(0) if kv_int8 else None
         kvrow_ref = rest.pop(0)
@@ -588,10 +679,15 @@ def _make_kernel_hbm(cfg, C, *, mode, kv_dtype, lps, with_head, chunk,
             def _():
                 normed = _rms(x_ref[...], out_n_ref[...], eps)
                 hid_ref[...] = normed
-                logits_ref[...] = jax.lax.dot_general(
+                logits = jax.lax.dot_general(
                     normed.astype(head_ref.dtype), head_ref[...],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
+                if sample is None:
+                    logits_ref[...] = logits
+                else:
+                    _sample_epilogue(logits, seen_ref, samp_ref, seed_ref,
+                                     sample, logits_ref)
         else:
             hid_ref[...] = x
 
@@ -599,7 +695,8 @@ def _make_kernel_hbm(cfg, C, *, mode, kv_dtype, lps, with_head, chunk,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "mode", "layers_per_step", "chunk", "interpret"))
+    "cfg", "mode", "layers_per_step", "chunk", "top_k", "suppress_start",
+    "eos_id", "greedy", "use_top_p", "interpret"))
 def fused_talker_step_hbm(
     blocks,                    # BlockParams with QuantLinear projections
     cfg,                       # TalkerConfig
@@ -612,13 +709,23 @@ def fused_talker_step_hbm(
     mode: str = "w8a8",
     layers_per_step: int = DEFAULT_LAYERS_PER_STEP,
     chunk: int = _DEFAULT_KV_CHUNK,
+    seen: jnp.ndarray | None = None,       # [Vc] bool — enables cb0 sampling
+    seeds: jnp.ndarray | None = None,      # scalar int32 counter-hash seed
+    temperature=1.0, top_p=1.0, repetition_penalty=1.0,   # traced scalars
+    top_k: int = 0,
+    suppress_start: int | None = None,
+    eos_id: int = -1,
+    greedy: bool = False,
+    use_top_p: bool = True,
     interpret: bool = False,
 ):
     """One talker decode step, KV cache resident in HBM (no capacity gate).
 
     Same contract as fused_talker_step: returns (hidden, kv) or
     (normed_hidden, logits, kv) with the cache row at n_past updated (the
-    scatter happens outside the kernel as one dynamic_update_slice).
+    scatter happens outside the kernel as one dynamic_update_slice); with
+    `seen` given, samples next frame's cb0 in-kernel and returns
+    (normed_hidden, cb0 scalar int32, kv) — see fused_talker_step.
 
     kv may be the dense [L, 2, Hkv, C, D] cache or an int8 (q, scale) pair
     from ops/kv_quant.py — the int8 form halves the valid-prefix DMA that
@@ -647,6 +754,13 @@ def fused_talker_step_hbm(
             chunk -= 1
     with_head = codec_head is not None
     mode = _weight_mode(blocks, mode)
+    sample_cb0 = seen is not None
+    if sample_cb0:
+        assert with_head, "cb0 sampling needs codec_head"
+        sample = _sample_cfg(codec_head, top_k, suppress_start, eos_id,
+                             greedy, use_top_p)
+    else:
+        sample = None
 
     angles = (jnp.asarray(n_past, jnp.float32)
               * cfg.rope_theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half))
@@ -654,7 +768,7 @@ def fused_talker_step_hbm(
 
     kernel = _make_kernel_hbm(cfg, C, mode=mode, kv_dtype=row_dtype, lps=lps,
                               with_head=with_head, chunk=chunk,
-                              kv_int8=kv_int8)
+                              kv_int8=kv_int8, sample=sample)
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def blk(shape):
@@ -682,6 +796,12 @@ def fused_talker_step_hbm(
         Vc = codec_head.shape[-1]
         in_specs += [vmem_full, vmem_full]
         operands += [output_norm.reshape(1, H), codec_head]
+        if sample_cb0:
+            sspecs, sops = _sample_operands(
+                seen.reshape(1, -1), seeds, temperature, top_p,
+                repetition_penalty)
+            in_specs += sspecs
+            operands += sops
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # kv stays in HBM
     operands.append(kv_arr)
     if kv_int8:
@@ -696,7 +816,11 @@ def fused_talker_step_hbm(
         jax.ShapeDtypeStruct((L // lps, lps, 2, Hkv, D), row_dtype),
         jax.ShapeDtypeStruct((1, H), jnp.float32),
     ]
-    if with_head:
+    if with_head and sample_cb0:
+        out_specs.append(
+            pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.int32))
+    elif with_head:
         out_specs.append(
             pl.BlockSpec((1, Vc), lambda g: (0, 0), memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((1, Vc), jnp.float32))
@@ -742,6 +866,8 @@ def fused_talker_step_hbm(
     else:
         kv_new = lax.dynamic_update_slice(
             kv, rows, (0, 0, 0, jnp.asarray(n_past, jnp.int32), 0))
+    if with_head and sample_cb0:
+        return outs[1][0], outs[2][0, 0], kv_new
     if with_head:
         return outs[1][0], outs[2][0], kv_new
     return outs[1][0], kv_new
@@ -927,7 +1053,7 @@ def _make_kernel_batched_lane(cfg, B, C, *, mode, kv_dtype, with_head, chunk):
 
 
 def _make_kernel_batched(cfg, B, C, *, mode, kv_dtype, with_head, chunk,
-                         kv_int8=False):
+                         kv_int8=False, sample=None):
     H = cfg.hidden_size
     L = cfg.n_layers
     Hq, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -946,6 +1072,9 @@ def _make_kernel_batched(cfg, B, C, *, mode, kv_dtype, with_head, chunk,
         if with_head:
             out_n_ref, head_ref = rest[0], rest[1]
             del rest[:2]
+            if sample is not None:
+                seen_ref, samp_ref, seed_ref = rest[0], rest[1], rest[2]
+                del rest[:3]
         kv_hbm = rest.pop(0)
         kvs_hbm = rest.pop(0) if kv_int8 else None
         kvrow_ref = rest.pop(0)
@@ -1092,10 +1221,18 @@ def _make_kernel_batched(cfg, B, C, *, mode, kv_dtype, with_head, chunk,
             def _():
                 normed = _rms(x_ref[...], out_n_ref[...], eps)
                 hid_ref[...] = normed
-                logits_ref[...] = jax.lax.dot_general(
+                logits = jax.lax.dot_general(
                     normed.astype(head_ref.dtype), head_ref[...],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
+                if sample is None:
+                    logits_ref[...] = logits
+                else:
+                    # next frame's cb0 sampled while the logits are still in
+                    # VMEM — the frame loop never round-trips [B, Vc]
+                    # through XLA sampling glue
+                    _sample_epilogue(logits, seen_ref, samp_ref, seed_ref,
+                                     sample, logits_ref)
         else:
             hid_ref[...] = x
 
@@ -1103,7 +1240,8 @@ def _make_kernel_batched(cfg, B, C, *, mode, kv_dtype, with_head, chunk,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "mode", "chunk", "kv_layout", "interpret"))
+    "cfg", "mode", "chunk", "kv_layout", "top_k", "suppress_start", "eos_id",
+    "greedy", "use_top_p", "interpret"))
 def fused_talker_step_batched(
     blocks,                    # BlockParams with QuantLinear projections
     cfg,                       # TalkerConfig
@@ -1116,12 +1254,28 @@ def fused_talker_step_batched(
     mode: str = "w8a8",
     chunk: int = _BATCHED_KV_CHUNK,
     kv_layout: str = "batch",
+    seen: jnp.ndarray | None = None,       # [B, Vc] bool — enables cb0 sampling
+    seeds: jnp.ndarray | None = None,      # [B] int32 counter-hash seeds
+    temperature=1.0, top_p=1.0, repetition_penalty=1.0,   # traced scalars
+    top_k: int = 0,
+    suppress_start: int | None = None,
+    eos_id: int = -1,
+    greedy: bool = False,
+    use_top_p: bool = True,
     interpret: bool = False,
 ):
     """One talker decode step for B lockstep lanes, KV in HBM.
 
     Returns (hidden [B, H] f32, kv) or (normed_hidden, logits [B, Vc], kv)
     with each lane's cache row at n_past updated.
+
+    When `seen` is given (requires codec_head + batch-major layout), the
+    kernel additionally samples NEXT frame's codebook-0 token in its head
+    epilogue — suppression of [suppress_start, Vc) except eos_id, HF
+    repetition penalty over `seen`, then the shared counter-hash
+    temp/top-k/top-p sampler (ops/kernel_prng.make_sampler) with per-lane
+    `seeds` — and returns (normed_hidden, cb0 [B] int32, kv) instead of
+    logits, which never leave the kernel.
 
     kv_layout:
       - "batch": cache [B, L, 2, Hkv, C, D] (also the int8 (q, scale) form —
@@ -1157,6 +1311,14 @@ def fused_talker_step_batched(
             chunk -= 1
     with_head = codec_head is not None
     mode = _weight_mode(blocks, mode)
+    sample_cb0 = seen is not None
+    if sample_cb0:
+        assert with_head and not lane_major, \
+            "cb0 sampling needs codec_head and the batch-major layout"
+        sample = _sample_cfg(codec_head, top_k, suppress_start, eos_id,
+                             greedy, use_top_p)
+    else:
+        sample = None
 
     angles = (jnp.asarray(n_past, jnp.float32)
               * cfg.rope_theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half))
@@ -1169,7 +1331,7 @@ def fused_talker_step_batched(
     else:
         kernel = _make_kernel_batched(
             cfg, B, C, mode=mode, kv_dtype=row_dtype, with_head=with_head,
-            chunk=chunk, kv_int8=kv_int8)
+            chunk=chunk, kv_int8=kv_int8, sample=sample)
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def blk(shape):
@@ -1197,6 +1359,11 @@ def fused_talker_step_batched(
         Vc = codec_head.shape[-1]
         in_specs += [vmem_full, vmem_full]
         operands += [output_norm.reshape(1, H), codec_head]
+        if sample_cb0:
+            sspecs, sops = _sample_operands(
+                seen, seeds, temperature, top_p, repetition_penalty)
+            in_specs += sspecs
+            operands += sops
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # kv stays in HBM
     operands.append(kv_arr)
     if kv_int8:
@@ -1212,7 +1379,11 @@ def fused_talker_step_batched(
         jax.ShapeDtypeStruct((L, B, 2, Hkv, D), row_dtype),
         jax.ShapeDtypeStruct((B, H), jnp.float32),
     ]
-    if with_head:
+    if with_head and sample_cb0:
+        out_specs.append(
+            pl.BlockSpec((B, 1), lambda g: (0, 0), memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, 1), jnp.int32))
+    elif with_head:
         out_specs.append(
             pl.BlockSpec((B, Vc), lambda g: (0, 0), memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((B, Vc), jnp.float32))
@@ -1262,6 +1433,8 @@ def fused_talker_step_batched(
     else:
         rows = outs[0].transpose(1, 0, 2, 3, 4).reshape(B, L, 2, Hkv, 1, D)
         kv_new = lax.dynamic_update_slice(kv, rows, (0, 0, 0, 0, n0, 0))
+    if with_head and sample_cb0:
+        return outs[1], outs[2][:, 0], kv_new
     if with_head:
         return outs[1], outs[2], kv_new
     return outs[1], kv_new

@@ -84,7 +84,8 @@ class GenerateResult(NamedTuple):
 class _LoopState(NamedTuple):
     frame: jnp.ndarray
     n_past: jnp.ndarray
-    logits: jnp.ndarray
+    logits: jnp.ndarray      # [Vc] ([0] when the kernel samples cb0)
+    cb0_next: jnp.ndarray    # scalar next-frame cb0 ([0] unless kernel-sampled)
     last_hidden: jnp.ndarray
     kv: jnp.ndarray
     seen: jnp.ndarray
@@ -92,6 +93,45 @@ class _LoopState(NamedTuple):
     hidden_out: jnp.ndarray
     key: jax.Array
     done: jnp.ndarray
+
+
+def _resolve_kernel_cb0(use_fused_talker: bool) -> bool:
+    """Static gate for in-kernel cb0 sampling (the fused talker kernels'
+    head epilogue samples next frame's cb0; QWEN3TTS_KERNEL_CB0=0 falls back
+    to XLA suppression/penalty/sample_token on kernel logits)."""
+    return (use_fused_talker
+            and _os.environ.get("QWEN3TTS_KERNEL_CB0", "1")
+            not in ("0", "false", "off"))
+
+
+def _init_cb0(logits, key, talker_cfg, *, kernel_cb0, temperature, top_k,
+              top_p, repetition_penalty, allow_eos, greedy, use_top_p):
+    """Frame 0's cb0 comes from the prefill logits via the XLA sampler
+    (one-time; the kernel epilogue takes over from frame 1). Returns
+    (logits_carry, cb0_next, key) — with kernel_cb0 the carried logits
+    collapse to a [0] placeholder. The key split mirrors the loop body's
+    (key, k_cb0, k_cp) so batched lane b == single-stream with keys[b]."""
+    if not kernel_cb0:
+        return logits, jnp.zeros(logits.shape[:-1] + (0,), jnp.int32), key
+    Vc = talker_cfg.codec_vocab_size
+    suppress_start = Vc - talker_cfg.n_suppressed_tail
+    eos_for_mask = talker_cfg.codec_eos_id if allow_eos else -1
+    batched = logits.ndim == 2
+    if batched:
+        ks = jax.vmap(lambda k: jax.random.split(k, 3))(key)
+        key, k_cb0 = ks[:, 0], ks[:, 1]
+    else:
+        key, k_cb0, _ = jax.random.split(key, 3)
+    l0 = apply_suppression(logits, suppress_start, eos_for_mask)
+    if batched:
+        cb0 = jax.vmap(
+            lambda kk, row: sample_token(
+                kk, row, temperature=temperature, top_k=top_k, top_p=top_p,
+                greedy=greedy, use_top_p=use_top_p))(k_cb0, l0)
+    else:
+        cb0 = sample_token(k_cb0, l0, temperature=temperature, top_k=top_k,
+                           top_p=top_p, greedy=greedy, use_top_p=use_top_p)
+    return jnp.zeros(logits.shape[:-1] + (0,), jnp.float32), cb0, key
 
 
 def generate(
@@ -144,10 +184,19 @@ def generate(
 
         kv = quantize_kv(kv)
 
+    greedy, use_top_p = sampling_flags(temperature, top_p, greedy, use_top_p)
+    logits, cb0_next, key = _init_cb0(
+        logits, key, talker_cfg,
+        kernel_cb0=_resolve_kernel_cb0(
+            _resolve_fused_talker(fused_talker, talker_params)),
+        temperature=temperature, top_k=top_k, top_p=top_p,
+        repetition_penalty=repetition_penalty, allow_eos=allow_eos,
+        greedy=greedy, use_top_p=use_top_p)
     state = _LoopState(
         frame=jnp.int32(0),
         n_past=jnp.int32(prefill_len),
         logits=logits,
+        cb0_next=cb0_next,
         last_hidden=last_hidden,
         kv=kv,
         seen=jnp.zeros((Vc,), jnp.bool_),
@@ -185,6 +234,7 @@ def _make_body(
     dtype = talker_params.codec_embd.dtype
     use_fused_cp = _resolve_fused_cp(fused_cp, cp_params)
     use_fused_talker = _resolve_fused_talker(fused_talker, talker_params)
+    kernel_cb0 = _resolve_kernel_cb0(use_fused_talker)
     greedy, use_top_p = sampling_flags(temperature, top_p, greedy, use_top_p)
 
     def body(s: _LoopState) -> _LoopState:
@@ -192,11 +242,16 @@ def _make_body(
         # allow_eos=False additionally masks EOS (benchmark mode: fixed-length
         # runs regardless of what random/sampled logits prefer).
         eos_for_mask = talker_cfg.codec_eos_id if allow_eos else -1
-        l = apply_suppression(s.logits, suppress_start, eos_for_mask)
-        l = apply_repetition_penalty(l, s.seen, repetition_penalty)
         key, k_cb0, k_cp = jax.random.split(s.key, 3)
-        cb0 = sample_token(k_cb0, l, temperature=temperature, top_k=top_k,
-                           top_p=top_p, greedy=greedy, use_top_p=use_top_p)
+        if kernel_cb0:
+            # sampled by the previous talker step's in-kernel epilogue
+            # (frame 0: by _init_cb0 from the prefill logits)
+            cb0 = s.cb0_next
+        else:
+            l = apply_suppression(s.logits, suppress_start, eos_for_mask)
+            l = apply_repetition_penalty(l, s.seen, repetition_penalty)
+            cb0 = sample_token(k_cb0, l, temperature=temperature, top_k=top_k,
+                               top_p=top_p, greedy=greedy, use_top_p=use_top_p)
         done = jnp.logical_and(cb0 == talker_cfg.codec_eos_id, allow_eos)
 
         # --- residual codebooks 1..15 ---
@@ -243,27 +298,44 @@ def _make_body(
         from ..ops.pallas_talker_step import MAX_FUSED_CAPACITY
 
         kv_is_q = is_quantized_kv(s.kv)
+        sample_kw = {}
+        if kernel_cb0:
+            # next frame's cb0 sampled in the kernel epilogue against the
+            # seen-set INCLUDING this frame's cb0 (same visibility the XLA
+            # path gives the next iteration); seeded by this body's k_cb0
+            sample_kw = dict(
+                seen=seen,
+                seeds=lax.bitcast_convert_type(
+                    jax.random.bits(k_cb0, (), "uint32"), jnp.int32),
+                temperature=temperature, top_p=top_p,
+                repetition_penalty=repetition_penalty, top_k=top_k,
+                suppress_start=suppress_start, eos_id=eos_for_mask,
+                greedy=greedy, use_top_p=use_top_p)
         if (use_fused_talker and not kv_is_q
                 and s.kv.shape[3] <= MAX_FUSED_CAPACITY):
             from ..ops.pallas_talker_step import fused_talker_step
 
-            hidden_f32, logits, kv = fused_talker_step(
+            hidden_f32, head_out, kv = fused_talker_step(
                 talker_params.blocks, talker_cfg, step_embd, s.n_past, s.kv,
                 output_norm=talker_params.output_norm,
-                codec_head=talker_params.codec_head)
+                codec_head=talker_params.codec_head, **sample_kw)
             hidden = hidden_f32.astype(dtype)
         elif use_fused_talker:
             from ..ops.pallas_talker_step import fused_talker_step_hbm
 
-            hidden_f32, logits, kv = fused_talker_step_hbm(
+            hidden_f32, head_out, kv = fused_talker_step_hbm(
                 talker_params.blocks, talker_cfg, step_embd, s.n_past, s.kv,
                 output_norm=talker_params.output_norm,
-                codec_head=talker_params.codec_head)
+                codec_head=talker_params.codec_head, **sample_kw)
             hidden = hidden_f32.astype(dtype)
         else:
-            hidden, logits, kv = talker_model.talker_step(
+            hidden, head_out, kv = talker_model.talker_step(
                 talker_params, talker_cfg, step_embd, s.n_past, s.kv,
                 strategy=kv_strategy)
+        if kernel_cb0:
+            logits, cb0_next = s.logits, head_out
+        else:
+            logits, cb0_next = head_out, s.cb0_next
 
         if progress_cb is not None:
             _io_callback(progress_cb, None, s.frame + emit.astype(jnp.int32),
@@ -273,6 +345,7 @@ def _make_body(
             frame=s.frame + emit.astype(jnp.int32),
             n_past=s.n_past + 1,
             logits=logits,
+            cb0_next=cb0_next,
             last_hidden=hidden,
             kv=kv,
             seen=seen,
@@ -357,7 +430,8 @@ def generate_from_tokens_batched(
     talker_params, cp_params, tokens, n_tokens, speaker_embd, language_id,
     keys, *, talker_cfg, cp_cfg, max_frames, kv_capacity, temperature, top_k,
     top_p=1.0, repetition_penalty=1.05, nothink=False, fused_cp="auto",
-    allow_eos=True, kv_quant="none", greedy=None, use_top_p=None,
+    fused_talker="auto", allow_eos=True, kv_quant="none", greedy=None,
+    use_top_p=None,
 ) -> GenerateResult:
     """See _generate_from_tokens_batched_jit; this wrapper derives the static
     sampler-stage flags from python-float params (kernel_prng.sampling_flags)
@@ -368,15 +442,16 @@ def generate_from_tokens_batched(
         keys, talker_cfg=talker_cfg, cp_cfg=cp_cfg, max_frames=max_frames,
         kv_capacity=kv_capacity, temperature=temperature, top_k=top_k,
         top_p=top_p, repetition_penalty=repetition_penalty, nothink=nothink,
-        fused_cp=fused_cp, allow_eos=allow_eos, kv_quant=kv_quant,
-        greedy=greedy, use_top_p=use_top_p)
+        fused_cp=fused_cp, fused_talker=fused_talker, allow_eos=allow_eos,
+        kv_quant=kv_quant, greedy=greedy, use_top_p=use_top_p)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "talker_cfg", "cp_cfg", "max_frames", "kv_capacity", "top_k",
-        "nothink", "fused_cp", "allow_eos", "kv_quant", "greedy", "use_top_p",
+        "nothink", "fused_cp", "fused_talker", "allow_eos", "kv_quant",
+        "greedy", "use_top_p",
     ),
 )
 def _generate_from_tokens_batched_jit(
@@ -398,6 +473,7 @@ def _generate_from_tokens_batched_jit(
     repetition_penalty: float = 1.05,
     nothink: bool = False,
     fused_cp="auto",
+    fused_talker="auto",
     allow_eos: bool = True,
     kv_quant: str = "none",
     greedy: bool = False,
@@ -424,8 +500,8 @@ def _generate_from_tokens_batched_jit(
             max_frames=max_frames, kv_capacity=kv_capacity,
             temperature=temperature, top_k=top_k, top_p=top_p,
             repetition_penalty=repetition_penalty, nothink=nothink,
-            allow_eos=allow_eos, kv_quant=kv_quant, greedy=greedy,
-            use_top_p=use_top_p)
+            fused_talker=fused_talker, allow_eos=allow_eos,
+            kv_quant=kv_quant, greedy=greedy, use_top_p=use_top_p)
 
     def one(tokens_i, n_i, spk_i, lang_i, key_i):
         prefill = talker_model.build_prefill(
@@ -444,7 +520,8 @@ def _generate_from_tokens_batched_jit(
 class _BatchedState(NamedTuple):
     it: jnp.ndarray          # scalar iteration counter (== n_past - prefill)
     n_past: jnp.ndarray      # scalar: lockstep across lanes (fixed prefill)
-    logits: jnp.ndarray      # [B, Vc]
+    logits: jnp.ndarray      # [B, Vc] ([0] when the kernel samples cb0)
+    cb0_next: jnp.ndarray    # [B] next frame's cb0 ([0] unless kernel-sampled)
     last_hidden: jnp.ndarray  # [B, H]
     kv: jnp.ndarray          # [B, L, 2, Hkv, C, D]
     seen: jnp.ndarray        # [B, Vc]
@@ -458,8 +535,8 @@ class _BatchedState(NamedTuple):
 def _generate_batched_fused(
     talker_params, cp_params, tokens, n_tokens, speaker_embd, language_id,
     keys, *, talker_cfg, cp_cfg, max_frames, kv_capacity, temperature, top_k,
-    top_p, repetition_penalty, nothink, allow_eos=True, kv_quant="none",
-    greedy=None, use_top_p=None,
+    top_p, repetition_penalty, nothink, fused_talker="auto", allow_eos=True,
+    kv_quant="none", greedy=None, use_top_p=None,
 ) -> GenerateResult:
     """Hand-batched frame loop: per-lane semantics identical to the vmapped
     path (emission masking, latched EOS), but the code predictor runs as ONE
@@ -492,7 +569,7 @@ def _generate_batched_fused(
     last_hidden, logits, kv = jax.vmap(
         lambda pe: talker_model.talker_prefill(talker_params, talker_cfg, pe, kv0)
     )(prefill.prefill_embd)
-    use_fused_talker = _resolve_fused_talker("auto", talker_params)
+    use_fused_talker = _resolve_fused_talker(fused_talker, talker_params)
     # opt-in lane-major cache [L, 2, Hkv, C, B, D] for the batched fused
     # kernel: each per-trip (kv, head) DMA is one contiguous chunk*B*D run
     # instead of B strided 8 KB blocks. Measured (B=64 C=512): wins at
@@ -509,10 +586,23 @@ def _generate_batched_fused(
     elif lane_kv:
         kv = kv.transpose(1, 2, 3, 4, 0, 5)
 
+    # kernel-sampled cb0: the v3 batch-major kernel's head epilogue applies
+    # suppression + repetition penalty + the counter-hash sampler while the
+    # logits are still in VMEM, so the loop carries a [B] cb0 instead of
+    # round-tripping [B, Vc] logits through XLA sampling glue.
+    eos_for_mask = talker_cfg.codec_eos_id if allow_eos else -1
+    kernel_cb0 = _resolve_kernel_cb0(use_fused_talker) and not lane_kv
+    logits, cb0_init, keys = _init_cb0(
+        logits, keys, talker_cfg, kernel_cb0=kernel_cb0,
+        temperature=temperature, top_k=top_k, top_p=top_p,
+        repetition_penalty=repetition_penalty, allow_eos=allow_eos,
+        greedy=greedy, use_top_p=use_top_p)
+
     state = _BatchedState(
         it=jnp.int32(0),
         n_past=jnp.int32(prefill_len),
         logits=logits,
+        cb0_next=cb0_init,
         last_hidden=last_hidden,
         kv=kv,
         seen=jnp.zeros((B, Vc), jnp.bool_),
@@ -524,17 +614,19 @@ def _generate_batched_fused(
     )
 
     def body(s: _BatchedState) -> _BatchedState:
-        eos_for_mask = talker_cfg.codec_eos_id if allow_eos else -1
-        l = apply_suppression(s.logits, suppress_start, eos_for_mask)
-        l = apply_repetition_penalty(l, s.seen, repetition_penalty)
         # per-lane key chains, split exactly like the single-stream body
         ks = jax.vmap(lambda k: jax.random.split(k, 3))(s.keys)   # [B, 3, ...]
         keys_next, k_cb0, k_cp = ks[:, 0], ks[:, 1], ks[:, 2]
-        cb0 = jax.vmap(
-            lambda kk, row: sample_token(
-                kk, row, temperature=temperature, top_k=top_k, top_p=top_p,
-                greedy=greedy, use_top_p=use_top_p)
-        )(k_cb0, l)
+        if kernel_cb0:
+            cb0 = s.cb0_next
+        else:
+            l = apply_suppression(s.logits, suppress_start, eos_for_mask)
+            l = apply_repetition_penalty(l, s.seen, repetition_penalty)
+            cb0 = jax.vmap(
+                lambda kk, row: sample_token(
+                    kk, row, temperature=temperature, top_k=top_k,
+                    top_p=top_p, greedy=greedy, use_top_p=use_top_p)
+            )(k_cb0, l)
         done = jnp.logical_or(
             s.done, jnp.logical_and(cb0 == talker_cfg.codec_eos_id, allow_eos))
         emit = ~done
@@ -585,7 +677,27 @@ def _generate_batched_fused(
         step_embd = (cb0_embd.astype(jnp.float32) + rest_sum
                      + trailing_row).astype(dtype)
 
-        if use_fused_talker:
+        if kernel_cb0:
+            # v3 batched kernel + cb0-sampling epilogue: next frame's cb0 is
+            # sampled in-kernel (seeded by this body's k_cb0) against the
+            # seen-set INCLUDING this frame's cb0 — same visibility the XLA
+            # path gives the next body iteration.
+            from ..ops.pallas_talker_step import fused_talker_step_batched
+
+            seeds_cb0 = jax.vmap(lambda kk: lax.bitcast_convert_type(
+                jax.random.bits(kk, (), "uint32"), jnp.int32))(k_cb0)
+            hidden_f32, cb0_next, kv = fused_talker_step_batched(
+                talker_params.blocks, talker_cfg, step_embd, s.n_past, s.kv,
+                output_norm=talker_params.output_norm,
+                codec_head=talker_params.codec_head,
+                seen=seen, seeds=seeds_cb0,
+                temperature=temperature, top_p=top_p,
+                repetition_penalty=repetition_penalty, top_k=top_k,
+                suppress_start=suppress_start, eos_id=eos_for_mask,
+                greedy=greedy, use_top_p=use_top_p)
+            hidden = hidden_f32.astype(dtype)
+            logits = s.logits
+        elif use_fused_talker:
             # v3 batched kernel: weights streamed once for ALL lanes (M=B
             # int8 MXU dots), per-lane valid-prefix KV DMA, VPU flash
             # attention. Measured 18.4 -> 3.7 ms/frame-set at B=64, C=512
@@ -598,6 +710,7 @@ def _generate_batched_fused(
                 codec_head=talker_params.codec_head,
                 kv_layout="lane" if lane_kv else "batch")
             hidden = hidden_f32.astype(dtype)
+            cb0_next = s.cb0_next
         else:
             # "carried" KV strategy: under vmap the sliced scheme's per-layer
             # cache copies multiply by B (measured 893 -> 2555 aggregate f/s
@@ -607,11 +720,13 @@ def _generate_batched_fused(
                     talker_params, talker_cfg, e, s.n_past, kvi,
                     strategy="carried")
             )(step_embd, s.kv)
+            cb0_next = s.cb0_next
 
         return _BatchedState(
             it=s.it + 1,
             n_past=s.n_past + 1,
             logits=logits,
+            cb0_next=cb0_next,
             last_hidden=hidden,
             kv=kv,
             seen=seen,
@@ -641,7 +756,8 @@ def _generate_batched_fused(
     jax.jit,
     static_argnames=(
         "talker_cfg", "cp_cfg", "max_frames", "kv_capacity", "nothink",
-        "fused_talker", "kv_quant",
+        "fused_talker", "kv_quant", "top_k", "allow_eos", "greedy",
+        "use_top_p",
     ),
 )
 def generate_init(
@@ -660,11 +776,19 @@ def generate_init(
     nothink: bool = False,
     fused_talker="auto",
     kv_quant: str = "none",
+    temperature=1.0,
+    top_k: int = 50,
+    top_p=1.0,
+    repetition_penalty=1.05,
+    allow_eos: bool = True,
+    greedy: bool = False,
+    use_top_p: bool = True,
 ):
     """Build prefill inputs, run the talker prefill, return (state, prefill)
-    ready for generate_chunk. kv_quant/fused_talker must match what the
-    subsequent generate_chunk calls use (the state's KV representation is
-    fixed here)."""
+    ready for generate_chunk. kv_quant/fused_talker AND the sampling params
+    must match what the subsequent generate_chunk calls use (the state's KV
+    representation is fixed here, and with the fused talker active frame 0's
+    cb0 is sampled here — see _init_cb0)."""
     H = talker_cfg.hidden_size
     Vc = talker_cfg.codec_vocab_size
     dtype = talker_params.codec_embd.dtype
@@ -678,10 +802,18 @@ def generate_init(
         from ..ops.kv_quant import quantize_kv
 
         kv = quantize_kv(kv)
+    logits, cb0_next, key = _init_cb0(
+        logits, key, talker_cfg,
+        kernel_cb0=_resolve_kernel_cb0(
+            _resolve_fused_talker(fused_talker, talker_params)),
+        temperature=temperature, top_k=top_k, top_p=top_p,
+        repetition_penalty=repetition_penalty, allow_eos=allow_eos,
+        greedy=greedy, use_top_p=use_top_p)
     state = _LoopState(
         frame=jnp.int32(0),
         n_past=jnp.int32(prefill.prefill_embd.shape[0]),
         logits=logits,
+        cb0_next=cb0_next,
         last_hidden=last_hidden,
         kv=kv,
         seen=jnp.zeros((Vc,), jnp.bool_),
@@ -824,10 +956,18 @@ def _generate_start_jit(
         from ..ops.kv_quant import quantize_kv
 
         kv = quantize_kv(kv)
+    logits, cb0_next, key = _init_cb0(
+        logits, key, talker_cfg,
+        kernel_cb0=_resolve_kernel_cb0(
+            _resolve_fused_talker(fused_talker, talker_params)),
+        temperature=temperature, top_k=top_k, top_p=top_p,
+        repetition_penalty=repetition_penalty, allow_eos=allow_eos,
+        greedy=greedy, use_top_p=use_top_p)
     state = _LoopState(
         frame=jnp.int32(0),
         n_past=jnp.int32(prefill.prefill_embd.shape[0]),
         logits=logits,
+        cb0_next=cb0_next,
         last_hidden=last_hidden,
         kv=kv,
         seen=jnp.zeros((Vc,), jnp.bool_),

@@ -131,3 +131,39 @@ def test_start_and_vocode_single_dispatch():
     np.testing.assert_allclose(np.asarray(audio), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
     assert np.isfinite(np.asarray(audio)).all()
+
+
+def test_chunked_kernel_cb0_matches_one_shot(params):
+    """Streaming with the fused talker + in-kernel cb0 sampling: the state
+    hand-off (cb0_next carried across generate_init -> generate_chunk
+    dispatch boundaries) must reproduce the one-shot fused run exactly,
+    sampled mode (interpret on CPU)."""
+    tp, cp = params
+    from qwen3tts_tpu.ops.quant import quantize_block_params
+
+    tpq = tp._replace(blocks=quantize_block_params(tp.blocks))
+    cpq = cp._replace(blocks=quantize_block_params(cp.blocks))
+    Tb, maxF, KV = 16, 4, 32
+    tokens = np.zeros((Tb,), np.int32)
+    tokens[:12] = np.arange(2, 14)
+    args = (jnp.asarray(tokens), jnp.int32(12),
+            jnp.zeros((TCFG.hidden_size,), jnp.float32), jnp.int32(2050),
+            jax.random.PRNGKey(5))
+    samp = dict(temperature=0.8, top_k=50, top_p=0.95,
+                repetition_penalty=1.05)
+
+    one_shot = DL.generate_from_tokens(
+        tpq, cpq, *args, talker_cfg=TCFG, cp_cfg=CCFG, max_frames=maxF,
+        kv_capacity=KV, fused_cp=True, fused_talker=True, **samp)
+
+    state, prefill = DL.generate_init(
+        tpq, cpq, *args, talker_cfg=TCFG, cp_cfg=CCFG, max_frames=maxF,
+        kv_capacity=KV, fused_talker=True, **samp)
+    while not bool(state.done) and int(state.frame) < maxF:
+        state = DL.generate_chunk(
+            tpq, cpq, prefill, state, talker_cfg=TCFG, cp_cfg=CCFG,
+            chunk_frames=2, max_frames=maxF, fused_cp=True,
+            fused_talker=True, **samp)
+    assert int(state.frame) == int(one_shot.n_frames)
+    np.testing.assert_array_equal(np.asarray(state.codes),
+                                  np.asarray(one_shot.codes))

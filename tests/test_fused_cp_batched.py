@@ -178,3 +178,94 @@ def test_hand_batched_loop_matches_single_stream_sampled():
         np.testing.assert_array_equal(
             np.asarray(batched.codes[b]), np.asarray(single.codes),
             err_msg=f"lane {b}")
+
+
+def test_hand_batched_loop_kernel_cb0_greedy_parity(monkeypatch):
+    """fused_talker=True routes the batched loop through the v3 kernel with
+    the cb0-sampling epilogue (kernel_cb0). Greedy decode is PRNG-free, so
+    its codes must match the SAME kernel loop with the epilogue disabled
+    (QWEN3TTS_KERNEL_CB0=0 -> XLA suppression/penalty/argmax on the kernel's
+    logits) exactly — isolating the in-kernel sampling fold and the
+    carried-cb0 loop restructure (interpret mode)."""
+    import numpy as np
+    from qwen3tts_tpu.runtime import decode_loop
+
+    cfg = tiny_pipeline_config()
+    tcfg, ccfg = cfg.talker, cfg.code_predictor
+    from qwen3tts_tpu.models import talker as talker_model
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    tp = talker_model.init_talker_params(k1, tcfg, jnp.float32)
+    cp = cp_model.init_code_predictor_params(k2, ccfg, jnp.float32)
+    from qwen3tts_tpu.ops.quant import quantize_block_params
+    tpq = tp._replace(blocks=quantize_block_params(tp.blocks))
+    cpq = cp._replace(blocks=quantize_block_params(cp.blocks))
+
+    Bn, Tb, maxF, KV = 2, 16, 3, 32
+    rng = np.random.default_rng(3)
+    tokens = np.zeros((Bn, Tb), np.int32)
+    tokens[:, :12] = rng.integers(2, 400, size=(Bn, 12))
+    n_tok = jnp.full((Bn,), 12, jnp.int32)
+    spk = jnp.zeros((Bn, tcfg.hidden_size), jnp.float32)
+    lang = jnp.full((Bn,), 2050, jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(9), Bn)
+
+    kw = dict(talker_cfg=tcfg, cp_cfg=ccfg, max_frames=maxF, kv_capacity=KV,
+              temperature=0.0, top_k=0, top_p=1.0, repetition_penalty=1.05,
+              nothink=False)
+    kernel = decode_loop._generate_batched_fused(
+        tpq, cpq, jnp.asarray(tokens), n_tok, spk, lang, keys,
+        fused_talker=True, **kw)
+    monkeypatch.setenv("QWEN3TTS_KERNEL_CB0", "0")
+    xla = decode_loop._generate_batched_fused(
+        tpq, cpq, jnp.asarray(tokens), n_tok, spk, lang, keys,
+        fused_talker=True, **kw)
+    np.testing.assert_array_equal(np.asarray(kernel.n_frames),
+                                  np.asarray(xla.n_frames))
+    np.testing.assert_array_equal(np.asarray(kernel.codes),
+                                  np.asarray(xla.codes))
+
+
+def test_hand_batched_kernel_cb0_sampled_matches_single_stream():
+    """SAMPLED kernel-path serving parity: with in-kernel cb0 sampling active
+    on BOTH the batched (v3) and single-stream (v1) fused talker paths, lane
+    b of a temperature>0 batched run equals the single-stream run with
+    keys[b] — the counter-hash cb0 seeds and the (key, k_cb0, k_cp) chain
+    derive identically (interpret mode)."""
+    import numpy as np
+    from qwen3tts_tpu.runtime import decode_loop
+
+    cfg = tiny_pipeline_config()
+    tcfg, ccfg = cfg.talker, cfg.code_predictor
+    from qwen3tts_tpu.models import talker as talker_model
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    tp = talker_model.init_talker_params(k1, tcfg, jnp.float32)
+    cp = cp_model.init_code_predictor_params(k2, ccfg, jnp.float32)
+    from qwen3tts_tpu.ops.quant import quantize_block_params
+    tpq = tp._replace(blocks=quantize_block_params(tp.blocks))
+    cpq = cp._replace(blocks=quantize_block_params(cp.blocks))
+
+    Bn, Tb, maxF, KV = 2, 16, 3, 32
+    rng = np.random.default_rng(7)
+    tokens = np.zeros((Bn, Tb), np.int32)
+    tokens[:, :12] = rng.integers(2, 400, size=(Bn, 12))
+    n_tok = jnp.full((Bn,), 12, jnp.int32)
+    spk = jnp.zeros((Bn, tcfg.hidden_size), jnp.float32)
+    lang = jnp.full((Bn,), 2050, jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(21), Bn)
+
+    batched = decode_loop._generate_batched_fused(
+        tpq, cpq, jnp.asarray(tokens), n_tok, spk, lang, keys,
+        talker_cfg=tcfg, cp_cfg=ccfg, max_frames=maxF, kv_capacity=KV,
+        temperature=0.8, top_k=50, top_p=0.95, repetition_penalty=1.05,
+        nothink=False, fused_talker=True)
+
+    for b in range(Bn):
+        single = decode_loop.generate_from_tokens(
+            tpq, cpq, jnp.asarray(tokens[b]), n_tok[b], spk[b], lang[b],
+            keys[b], talker_cfg=tcfg, cp_cfg=ccfg, max_frames=maxF,
+            kv_capacity=KV, temperature=0.8, top_k=50, top_p=0.95,
+            repetition_penalty=1.05, fused_cp=True, fused_talker=True)
+        assert int(batched.n_frames[b]) == int(single.n_frames)
+        np.testing.assert_array_equal(
+            np.asarray(batched.codes[b]), np.asarray(single.codes),
+            err_msg=f"lane {b}")
