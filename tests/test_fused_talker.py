@@ -392,6 +392,50 @@ def test_batched_kernel_cb0_sampling_seeded(setup):
     np.testing.assert_array_equal(g, want)         # nucleus of 1 == greedy
 
 
+def test_batched_kernel_w4(w4setup):
+    """v3 batched with split-half nibble-packed int4 weights: dequant mode
+    matches vmap(forward_step) on the dequantized weights exactly, and the
+    auto-resolved w4bf16 serving mode with head fusion + cb0 sampling stays
+    close and emits valid tokens (the batched q4 serving configuration)."""
+    cfg, params, w4blocks, deq4_blocks, kv, x = w4setup
+    B = 4
+    Vc = params.codec_head.shape[-1]
+    suppress_start = Vc - cfg.n_suppressed_tail
+    n_past = jnp.int32(6)
+    keys = jax.random.split(jax.random.PRNGKey(37), B)
+    xb = jax.vmap(lambda k: jax.random.normal(
+        k, (cfg.hidden_size,), jnp.float32))(keys)
+    kvb = jnp.stack([kv * (i + 1) * 0.2 for i in range(B)])
+
+    hidden_ref, kv_ref = jax.vmap(
+        lambda e, kvi: forward_step(
+            deq4_blocks, talker_model.core_config(cfg), e, n_past, kvi)
+    )(xb, kvb)
+    hd, kvd = pts.fused_talker_step_batched(
+        w4blocks, cfg, xb, n_past, kvb, mode="dequant", chunk=8,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(hd), np.asarray(hidden_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(kvd), np.asarray(kv_ref),
+                               rtol=2e-4, atol=2e-4)
+
+    hq, cb0, kvq = pts.fused_talker_step_batched(
+        w4blocks, cfg, xb, n_past, kvb, chunk=8,
+        output_norm=params.output_norm, codec_head=params.codec_head,
+        seen=jnp.zeros((B, Vc), jnp.bool_),
+        seeds=jnp.arange(B, dtype=jnp.int32),
+        temperature=0.0, repetition_penalty=1.05,
+        suppress_start=suppress_start, eos_id=cfg.codec_eos_id,
+        greedy=True, use_top_p=False, interpret=True)
+    from qwen3tts_tpu.ops.norms import rms_norm
+    ref = np.asarray(jax.vmap(
+        lambda h: rms_norm(h, params.output_norm, cfg.rms_norm_eps))(hd))
+    err = np.abs(np.asarray(hq) - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 0.15, f"w4bf16 relative error too large: {err}"
+    cb0 = np.asarray(cb0)
+    assert ((cb0 >= 0) & (cb0 < suppress_start)).all()
+
+
 # ---------------------------------------------------------------------------
 # int8 KV cache (ops/kv_quant.py + kv_int8 kernel variants)
 # ---------------------------------------------------------------------------

@@ -56,9 +56,12 @@ def main() -> int:
                 vocoder_model.init_vocoder_params(k3, vcfg, jnp.bfloat16))
 
     tp, cp, vp = jax.block_until_ready(init_all())
-    if os.environ.get("QWEN3TTS_BENCH_QUANT", "int8") == "int8":
-        from qwen3tts_tpu.ops.quant import quantize_block_params
-        tp = tp._replace(blocks=quantize_block_params(tp.blocks))
+    quant = os.environ.get("QWEN3TTS_BENCH_QUANT", "int8")
+    if quant in ("int8", "q4"):
+        from qwen3tts_tpu.ops.quant import (quantize_block_params,
+                                            quantize_block_params_w4)
+        qt = quantize_block_params_w4 if quant == "q4" else quantize_block_params
+        tp = tp._replace(blocks=qt(tp.blocks))
         cp = cp._replace(blocks=quantize_block_params(cp.blocks))
         jax.block_until_ready((tp.blocks.wqkv.q, cp.blocks.wqkv.q))
 
