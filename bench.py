@@ -99,8 +99,10 @@ def main() -> None:
     # surfaces with the kernel's name in seconds-to-minutes instead of inside
     # a 25-minute whole-program compile. Shapes match the bench programs, so
     # the persistent cache shares the work. QWEN3TTS_BENCH_SMOKE=0 skips. ---
-    if (quant in ("int8", "q4")
-            and os.environ.get("QWEN3TTS_BENCH_SMOKE", "1") != "0"):
+    if os.environ.get("QWEN3TTS_BENCH_SMOKE", "1") != "0":
+        # the talker smokes exercise whatever weight tier `quant` selected
+        # (int8 w8a8 / q4 w4bf16 / plain-bf16 mode); the cp kernels are
+        # int8-only, so they are skipped on the bf16 tier
         from qwen3tts_tpu.ops.pallas_code_predictor import fused_predict_codes
         from qwen3tts_tpu.ops.pallas_code_predictor_batched import (
             fused_predict_codes_batched)
@@ -160,17 +162,20 @@ def main() -> None:
                            tcfg.head_dim), jnp.bfloat16),
                 output_norm=tp.output_norm, codec_head=tp.codec_head,
                 **sampB)[1]),
-            ("cp_fused", lambda: fused_predict_codes(
-                cp, ccfg, x1, x1, jnp.int32(0),
-                temperature=sampling["temperature"],
-                top_k=sampling["top_k"])[0]),
-            ("cp_fused_batched", lambda: fused_predict_codes_batched(
-                cp, ccfg, jnp.zeros((Bs, tcfg.hidden_size), jnp.bfloat16),
-                jnp.zeros((Bs, tcfg.hidden_size), jnp.bfloat16),
-                jnp.zeros((Bs,), jnp.int32),
-                temperature=sampling["temperature"],
-                top_k=sampling["top_k"])[0]),
         ]
+        if quant in ("int8", "q4"):
+            smokes += [
+                ("cp_fused", lambda: fused_predict_codes(
+                    cp, ccfg, x1, x1, jnp.int32(0),
+                    temperature=sampling["temperature"],
+                    top_k=sampling["top_k"])[0]),
+                ("cp_fused_batched", lambda: fused_predict_codes_batched(
+                    cp, ccfg, jnp.zeros((Bs, tcfg.hidden_size), jnp.bfloat16),
+                    jnp.zeros((Bs, tcfg.hidden_size), jnp.bfloat16),
+                    jnp.zeros((Bs,), jnp.int32),
+                    temperature=sampling["temperature"],
+                    top_k=sampling["top_k"])[0]),
+            ]
         for name, fn in smokes:
             t0 = time.perf_counter()
             try:

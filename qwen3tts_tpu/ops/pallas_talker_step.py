@@ -120,6 +120,10 @@ def _make_mm(mode):
         if mode == "w8a8":
             xq, s_act = quant_act(x)
             return dot(xq, wq, jnp.int32).astype(jnp.float32) * (s_act * ws)
+        if mode == "bf16":
+            # full-precision tier: plain bf16 weights, f32 MXU accum (ws is
+            # a dummy ones row — unquantized blocks have no scales)
+            return dot(x.astype(wq.dtype), wq, jnp.float32)
         return dot(x, wq.astype(jnp.float32) * ws, jnp.float32)
 
     return mm
@@ -127,10 +131,12 @@ def _make_mm(mode):
 
 def _weight_mode(blocks, mode):
     """Resolve the kernel weight mode from the block pytree's leaf type."""
-    from .quantized_matmul import QuantLinear4
+    from .quantized_matmul import QuantLinear, QuantLinear4
 
     if isinstance(blocks.wqkv, QuantLinear4):
         return "w4dequant" if mode == "dequant" else "w4bf16"
+    if not isinstance(blocks.wqkv, QuantLinear):
+        return "bf16"   # plain [L, K, N] arrays: the full-precision tier
     return mode
 
 
@@ -145,11 +151,15 @@ def _weight_specs_and_operands(blocks, blk, grp):
     specs, ops = [], []
     for w in (blocks.wqkv, blocks.wo, blocks.w_gateup, blocks.w_down):
         if isinstance(w, QuantLinear4):
+            q = w.q
             sz = jnp.concatenate([w.scale, w.zero], axis=-2)
-        else:
-            sz = w.scale
-        specs += [blk(tuple(w.q.shape[-2:])), blk(tuple(sz.shape[-2:]))]
-        ops += [grp(w.q), grp(sz)]
+        elif hasattr(w, "q"):
+            q, sz = w.q, w.scale
+        else:   # plain [L, K, N] bf16 weights: dummy ones scale row
+            q = w
+            sz = jnp.ones(w.shape[:-2] + (1, 128), jnp.float32)
+        specs += [blk(tuple(q.shape[-2:])), blk(tuple(sz.shape[-2:]))]
+        ops += [grp(q), grp(sz)]
     return specs, ops
 
 
@@ -361,6 +371,8 @@ def fused_talker_step(
     lps = layers_per_step if L % layers_per_step == 0 else 1
     with_head = codec_head is not None
     mode = _weight_mode(blocks, mode)
+    if mode == "bf16" and layers_per_step == DEFAULT_LAYERS_PER_STEP:
+        lps = 1   # bf16 weight blocks are 2x int8: halve the VMEM footprint
     sample_cb0 = seen is not None
     if sample_cb0:
         assert with_head, "cb0 sampling needs codec_head"
@@ -754,6 +766,8 @@ def fused_talker_step_hbm(
             chunk -= 1
     with_head = codec_head is not None
     mode = _weight_mode(blocks, mode)
+    if mode == "bf16" and layers_per_step == DEFAULT_LAYERS_PER_STEP:
+        lps = 1   # bf16 weight blocks are 2x int8: halve the VMEM footprint
     sample_cb0 = seen is not None
     if sample_cb0:
         assert with_head, "cb0 sampling needs codec_head"
@@ -1303,6 +1317,10 @@ def fused_talker_step_batched(
         B, C = kv_arr.shape[0], kv_arr.shape[4]
     half = D // 2
     QKV = (Hq + 2 * Hkv) * D
+    mode = _weight_mode(blocks, mode)
+    if mode == "bf16" and chunk == _BATCHED_KV_CHUNK:
+        chunk = _BATCHED_KV_CHUNK // 2   # bf16 weight blocks are 2x int8:
+        # shrink the KV slab so the double-buffered layer stream still fits
     if kv_int8:
         chunk = _int8_chunk(C, _BATCHED_KV_CHUNK_INT8)
     else:
@@ -1310,7 +1328,6 @@ def fused_talker_step_batched(
         while C % chunk != 0:   # largest divisor <= chunk (no assert: see v2)
             chunk -= 1
     with_head = codec_head is not None
-    mode = _weight_mode(blocks, mode)
     sample_cb0 = seen is not None
     if sample_cb0:
         assert with_head and not lane_major, \

@@ -46,15 +46,21 @@ _CP_KERNEL_MAX_LANES = 64
 
 
 def _resolve_fused_talker(fused_talker, talker_params) -> bool:
-    """Static choice of the fused talker-step kernel ("auto" => TPU + int8;
-    the capacity gate is applied at the use site where kv.shape is known)."""
+    """Static choice of the fused talker-step kernel ("auto" => TPU, any
+    weight tier — int8/w4 quantized or plain bf16 (the kernels' "bf16" mode
+    streams full-precision weights; QWEN3TTS_FUSED_TALKER_BF16=0 reverts the
+    full-precision tier to the XLA step). The capacity gate is applied at
+    the use site where kv.shape is known."""
     if fused_talker == "auto":
         from ..ops.pallas_talker_step import fused_talker_enabled
         from ..ops.quantized_matmul import QuantLinear, QuantLinear4
 
-        return (fused_talker_enabled()
-                and isinstance(talker_params.blocks.wqkv,
-                               (QuantLinear, QuantLinear4)))
+        if not fused_talker_enabled():
+            return False
+        if isinstance(talker_params.blocks.wqkv, (QuantLinear, QuantLinear4)):
+            return True
+        return (_os.environ.get("QWEN3TTS_FUSED_TALKER_BF16", "1")
+                not in ("0", "false", "off"))
     return bool(fused_talker)
 
 
@@ -492,15 +498,19 @@ def _generate_from_tokens_batched_jit(
     B = tokens.shape[0]
     # B capped at 64: the per-lane KV caches alone are 7.7 GB at B=128
     # (C=512) and the chip OOMs; past the cap the vmapped path at least
-    # shares its buffers with XLA's allocator
-    if (_resolve_fused_cp(fused_cp, cp_params) and B <= _CP_KERNEL_MAX_LANES):
+    # shares its buffers with XLA's allocator. The hand-batched loop engages
+    # when EITHER kernel is available (bf16 tier: v3 batched talker kernel +
+    # vmapped XLA code predictor).
+    if ((_resolve_fused_cp(fused_cp, cp_params)
+         or _resolve_fused_talker(fused_talker, talker_params))
+            and B <= _CP_KERNEL_MAX_LANES):
         return _generate_batched_fused(
             talker_params, cp_params, tokens, n_tokens, speaker_embd,
             language_id, keys, talker_cfg=talker_cfg, cp_cfg=cp_cfg,
             max_frames=max_frames, kv_capacity=kv_capacity,
             temperature=temperature, top_k=top_k, top_p=top_p,
             repetition_penalty=repetition_penalty, nothink=nothink,
-            fused_talker=fused_talker, allow_eos=allow_eos,
+            fused_cp=fused_cp, fused_talker=fused_talker, allow_eos=allow_eos,
             kv_quant=kv_quant, greedy=greedy, use_top_p=use_top_p)
 
     def one(tokens_i, n_i, spk_i, lang_i, key_i):
@@ -535,7 +545,8 @@ class _BatchedState(NamedTuple):
 def _generate_batched_fused(
     talker_params, cp_params, tokens, n_tokens, speaker_embd, language_id,
     keys, *, talker_cfg, cp_cfg, max_frames, kv_capacity, temperature, top_k,
-    top_p, repetition_penalty, nothink, fused_talker="auto", allow_eos=True,
+    top_p, repetition_penalty, nothink, fused_cp=True,
+    fused_talker="auto", allow_eos=True,
     kv_quant="none", greedy=None, use_top_p=None,
 ) -> GenerateResult:
     """Hand-batched frame loop: per-lane semantics identical to the vmapped
@@ -557,6 +568,8 @@ def _generate_batched_fused(
     suppress_start = Vc - talker_cfg.n_suppressed_tail
     dtype = talker_params.codec_embd.dtype
     greedy, use_top_p = sampling_flags(temperature, top_p, greedy, use_top_p)
+
+    use_fused_cp = _resolve_fused_cp(fused_cp, cp_params)
 
     prefill = jax.vmap(
         lambda t, n, sp, lg: talker_model.build_prefill(
@@ -639,12 +652,25 @@ def _generate_batched_fused(
             onehot_cb0.astype(dtype), talker_params.codec_embd,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dtype)   # [B, H]
-        seeds = jax.vmap(lambda kk: lax.bitcast_convert_type(
-            jax.random.bits(kk, (), "uint32"), jnp.int32))(k_cp)   # [B]
-        rest, rest_sum = fused_predict_codes_batched(
-            cp_params, cp_cfg, s.last_hidden.astype(dtype), cb0_embd, seeds,
-            temperature=temperature, top_k=top_k, top_p=top_p,
-            greedy=greedy, use_top_p=use_top_p)
+        if use_fused_cp:
+            seeds = jax.vmap(lambda kk: lax.bitcast_convert_type(
+                jax.random.bits(kk, (), "uint32"), jnp.int32))(k_cp)   # [B]
+            rest, rest_sum = fused_predict_codes_batched(
+                cp_params, cp_cfg, s.last_hidden.astype(dtype), cb0_embd,
+                seeds, temperature=temperature, top_k=top_k, top_p=top_p,
+                greedy=greedy, use_top_p=use_top_p)
+        else:
+            # unquantized (bf16) tier: XLA code predictor, vmapped with each
+            # lane's k_cp — identical key usage to the single-stream XLA path
+            rest = jax.vmap(
+                lambda h, ce, kk: cp_model.predict_codes(
+                    cp_params, cp_cfg, h, ce, kk, temperature=temperature,
+                    top_k=top_k, top_p=top_p, greedy=greedy,
+                    use_top_p=use_top_p)
+            )(s.last_hidden.astype(dtype), cb0_embd, k_cp)           # [B, 15]
+            rest_sum = jnp.sum(
+                cp_params.embds[jnp.arange(cp_cfg.n_steps)[None, :], rest]
+                .astype(jnp.float32), axis=1)                        # [B, H]
         frame_codes = jnp.concatenate([cb0[:, None], rest], axis=1)
 
         # lanes are LOCKSTEP (frame[b] == it for every never-done lane), so

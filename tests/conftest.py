@@ -17,3 +17,19 @@ jax.config.update("jax_platforms", "cpu")
 
 # NB: jax_enable_x64 stays OFF so tests exercise the same f32/bf16 numerics as
 # production; the NumPy reference implementations use float64 independently.
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_programs_between_modules():
+    """Free compiled executables after each test module.
+
+    The full suite compiles several hundred XLA:CPU programs in one process;
+    around program ~120 the compiler segfaults deterministically
+    (backend_compile_and_load, LLVM JIT) unless earlier executables are
+    released. Each module recompiles what it needs; shapes differ across
+    modules anyway, so the lost cache hits are minimal."""
+    yield
+    jax.clear_caches()

@@ -269,3 +269,46 @@ def test_hand_batched_kernel_cb0_sampled_matches_single_stream():
         np.testing.assert_array_equal(
             np.asarray(batched.codes[b]), np.asarray(single.codes),
             err_msg=f"lane {b}")
+
+
+def test_hand_batched_loop_bf16_xla_cp_matches_single_stream():
+    """bf16-tier serving: the hand-batched loop with UNQUANTIZED params runs
+    the v3 talker kernel + the vmapped XLA code predictor (no int8 cp
+    kernel) and must match the single-stream fused-talker run lane-for-lane
+    — greedy and sampled."""
+    import numpy as np
+    from qwen3tts_tpu.models import talker as talker_model
+    from qwen3tts_tpu.runtime import decode_loop
+
+    cfg = tiny_pipeline_config()
+    tcfg, ccfg = cfg.talker, cfg.code_predictor
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    tp = talker_model.init_talker_params(k1, tcfg, jnp.float32)
+    cp = cp_model.init_code_predictor_params(k2, ccfg, jnp.float32)
+
+    Bn, Tb, maxF, KV = 2, 16, 4, 32
+    rng = np.random.default_rng(1)
+    tokens = np.zeros((Bn, Tb), np.int32)
+    tokens[:, :12] = rng.integers(2, 400, size=(Bn, 12))
+    n_tok = jnp.full((Bn,), 12, jnp.int32)
+    spk = jnp.zeros((Bn, tcfg.hidden_size), jnp.float32)
+    lang = jnp.full((Bn,), 2050, jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(7), Bn)
+
+    for temperature, top_k in ((0.0, 0), (0.9, 6)):
+        batched = decode_loop._generate_batched_fused(
+            tp, cp, jnp.asarray(tokens), n_tok, spk, lang, keys,
+            talker_cfg=tcfg, cp_cfg=ccfg, max_frames=maxF, kv_capacity=KV,
+            temperature=temperature, top_k=top_k, top_p=1.0,
+            repetition_penalty=1.05, nothink=False,
+            fused_cp=False, fused_talker=True)
+        for b in range(Bn):
+            single = decode_loop.generate_from_tokens(
+                tp, cp, jnp.asarray(tokens[b]), n_tok[b], spk[b], lang[b],
+                keys[b], talker_cfg=tcfg, cp_cfg=ccfg, max_frames=maxF,
+                kv_capacity=KV, temperature=temperature, top_k=top_k,
+                repetition_penalty=1.05, fused_cp=False, fused_talker=True)
+            assert int(batched.n_frames[b]) == int(single.n_frames)
+            np.testing.assert_array_equal(
+                np.asarray(batched.codes[b]), np.asarray(single.codes),
+                err_msg=f"lane {b} t={temperature}")

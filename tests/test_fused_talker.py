@@ -436,6 +436,91 @@ def test_batched_kernel_w4(w4setup):
     assert ((cb0 >= 0) & (cb0 < suppress_start)).all()
 
 
+def test_bf16_mode_matches_forward_step_all_kernels(setup):
+    """Plain (unquantized) blocks auto-resolve to the kernels' "bf16" weight
+    mode (full-precision serving tier — the weights here are f32, so the
+    in-kernel dot is exact vs forward_step). All three kernels, head fusion
+    + cb0 epilogue included on v1."""
+    cfg, params, qblocks, deq_blocks, kv, x = setup
+    blocks = params.blocks          # plain [L, K, N] arrays
+    n_past = jnp.int32(7)
+    hidden_ref, kv_ref = forward_step(
+        blocks, talker_model.core_config(cfg), x, n_past, kv)
+
+    for variant, kwargs in (("v1", {}), ("v2", {"chunk": 8})):
+        fn = (pts.fused_talker_step if variant == "v1"
+              else pts.fused_talker_step_hbm)
+        h, kvo = fn(blocks, cfg, x, n_past, kv, interpret=True, **kwargs)
+        np.testing.assert_allclose(np.asarray(h), np.asarray(hidden_ref),
+                                   rtol=2e-4, atol=2e-4, err_msg=variant)
+        np.testing.assert_allclose(np.asarray(kvo), np.asarray(kv_ref),
+                                   rtol=2e-4, atol=2e-4, err_msg=variant)
+
+    B = 3
+    xb = jax.vmap(lambda k: jax.random.normal(
+        k, (cfg.hidden_size,), jnp.float32))(
+            jax.random.split(jax.random.PRNGKey(41), B))
+    kvb = jnp.stack([kv * (i + 1) * 0.2 for i in range(B)])
+    hb_ref, kvb_ref = jax.vmap(
+        lambda e, kvi: forward_step(
+            blocks, talker_model.core_config(cfg), e, n_past, kvi))(xb, kvb)
+    hb, kvbo = pts.fused_talker_step_batched(
+        blocks, cfg, xb, n_past, kvb, chunk=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(hb), np.asarray(hb_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(kvbo), np.asarray(kvb_ref),
+                               rtol=2e-4, atol=2e-4)
+
+    # v1 + head + in-kernel cb0 sampling on the bf16 path
+    Vc = params.codec_head.shape[-1]
+    suppress_start = Vc - cfg.n_suppressed_tail
+    from qwen3tts_tpu.ops.norms import rms_norm
+    from qwen3tts_tpu.ops.sampling import apply_suppression
+    hn, logits, _ = pts.fused_talker_step(
+        blocks, cfg, x, n_past, kv,
+        output_norm=params.output_norm, codec_head=params.codec_head,
+        interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(hn),
+        np.asarray(rms_norm(hidden_ref, params.output_norm, cfg.rms_norm_eps)),
+        rtol=2e-4, atol=2e-4)
+    _, cb0, _ = pts.fused_talker_step(
+        blocks, cfg, x, n_past, kv,
+        output_norm=params.output_norm, codec_head=params.codec_head,
+        seen=jnp.zeros((Vc,), jnp.bool_), seeds=jnp.int32(3),
+        temperature=0.0, repetition_penalty=1.0,
+        suppress_start=suppress_start, eos_id=-1,
+        greedy=True, use_top_p=False, interpret=True)
+    want = int(jnp.argmax(apply_suppression(logits, suppress_start, -1)))
+    assert int(cb0) == want
+
+
+def test_bf16_decode_loop_routes_fused():
+    """Unquantized talker params route through the fused kernel in the
+    decode loop when fused_talker=True (the TPU-default 'auto' path for the
+    full-precision tier) and reproduce the XLA-step greedy codes."""
+    from qwen3tts_tpu.config import tiny_pipeline_config
+    from qwen3tts_tpu.models import code_predictor as CP
+    from qwen3tts_tpu.runtime import decode_loop as DL
+
+    pcfg = tiny_pipeline_config()
+    tcfg, ccfg = pcfg.talker, pcfg.code_predictor
+    tp = talker_model.init_talker_params(jax.random.PRNGKey(1), tcfg, jnp.float32)
+    cp = CP.init_code_predictor_params(jax.random.PRNGKey(2), ccfg, jnp.float32)
+    tokens = jnp.asarray([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 0, 0], jnp.int32)
+    common = dict(talker_cfg=tcfg, cp_cfg=ccfg, max_frames=5, kv_capacity=64,
+                  temperature=0.0, top_k=0, nothink=False, allow_eos=False,
+                  fused_cp=False)
+    outs = {}
+    for ft in (False, True):
+        outs[ft] = DL.generate_from_tokens(
+            tp, cp, tokens, jnp.int32(10),
+            jnp.zeros((tcfg.hidden_size,), jnp.float32), jnp.int32(2050),
+            jax.random.PRNGKey(0), fused_talker=ft, **common)
+    np.testing.assert_array_equal(np.asarray(outs[True].codes),
+                                  np.asarray(outs[False].codes))
+
+
 # ---------------------------------------------------------------------------
 # int8 KV cache (ops/kv_quant.py + kv_int8 kernel variants)
 # ---------------------------------------------------------------------------
