@@ -41,6 +41,25 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_FRAMES_PER_S = 3.2  # README.md:276-295 (92-frame run, Apple silicon)
 
 
+def _device_init_watchdog(seconds: int = 600):
+    """Fail fast if backend init stalls: a DEAD remote-TPU tunnel makes
+    jax.devices() hang indefinitely (observed >20 min) rather than raise.
+    Compiles may legitimately take 25 min, so only device init is guarded.
+    Returns an Event to set once devices are live."""
+    import threading
+
+    done = threading.Event()
+
+    def bail():
+        if not done.wait(seconds):
+            print(f"bench: device init did not complete in {seconds}s — "
+                  "remote TPU tunnel down? aborting", file=sys.stderr)
+            os._exit(3)
+
+    threading.Thread(target=bail, daemon=True).start()
+    return done
+
+
 def main() -> None:
     from qwen3tts_tpu.config import PipelineConfig
     from qwen3tts_tpu.models import code_predictor as cp_model
@@ -51,7 +70,9 @@ def main() -> None:
     cfg = PipelineConfig()
     tcfg, ccfg, vcfg = cfg.talker, cfg.code_predictor, cfg.vocoder
     spf = vcfg.samples_per_frame
+    _init_ok = _device_init_watchdog()
     dev = jax.devices()[0]
+    _init_ok.set()
     quant = os.environ.get("QWEN3TTS_BENCH_QUANT", "int8")
     print(f"device: {dev}  quant: {quant}", file=sys.stderr)
 
