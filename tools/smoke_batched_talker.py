@@ -38,6 +38,9 @@ def main() -> None:
     ap.add_argument("--layout", choices=["batch", "lane", "both"],
                     default="batch")
     ap.add_argument("--skip-xla", action="store_true")
+    ap.add_argument("--quant", choices=["int8", "q4", "bf16"], default="int8",
+                    help="kernel weight tier: int8 w8a8 / q4 w4bf16 / plain "
+                         "bf16 streamed")
     args = ap.parse_args()
     B, C, N = args.batch, args.cap, args.steps
 
@@ -51,8 +54,16 @@ def main() -> None:
         x = jax.random.normal(jax.random.PRNGKey(4), (B, cfg.hidden_size), jnp.bfloat16)
         return params, x
     params, x = jax.block_until_ready(init())
-    qblocks = quantize_block_params(params.blocks)
-    jax.block_until_ready(qblocks.wqkv.q)
+    if args.quant == "q4":
+        from qwen3tts_tpu.ops.quant import quantize_block_params_w4
+
+        qblocks = quantize_block_params_w4(params.blocks)
+        jax.block_until_ready(qblocks.wqkv.q)
+    elif args.quant == "bf16":
+        qblocks = params.blocks   # plain arrays: the kernels' "bf16" mode
+    else:
+        qblocks = quantize_block_params(params.blocks)
+        jax.block_until_ready(qblocks.wqkv.q)
     qparams = params._replace(blocks=qblocks)
 
     # --- correctness at B=8 (three live cache copies don't fit at B=64) ---
