@@ -167,3 +167,24 @@ def test_chunked_kernel_cb0_matches_one_shot(params):
     assert int(state.frame) == int(one_shot.n_frames)
     np.testing.assert_array_equal(np.asarray(state.codes),
                                   np.asarray(one_shot.codes))
+
+
+def test_loop_dynamic_sampling_params_no_recompile(params):
+    """Loop-level VERDICT r1 #5 guarantee: changing temperature / top_p /
+    repetition_penalty VALUES between generate_from_tokens calls reuses the
+    same compiled program (they ride as traced scalars)."""
+    tp, cp = params
+    tokens = jnp.asarray([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 0, 0, 0, 0, 0, 0],
+                         jnp.int32)
+    kw = dict(talker_cfg=TCFG, cp_cfg=CCFG, max_frames=3, kv_capacity=32,
+              top_k=8, nothink=False, allow_eos=False)
+    args = (tokens, jnp.int32(10), jnp.zeros((TCFG.hidden_size,), jnp.float32),
+            jnp.int32(TCFG.english_language_id), jax.random.PRNGKey(0))
+    DL.generate_from_tokens(
+        tp, cp, *args, temperature=0.7, top_p=0.9, repetition_penalty=1.05,
+        **kw)
+    n0 = DL._generate_from_tokens_jit._cache_size()
+    DL.generate_from_tokens(
+        tp, cp, *args, temperature=1.3, top_p=0.5, repetition_penalty=1.4,
+        **kw)
+    assert DL._generate_from_tokens_jit._cache_size() == n0
