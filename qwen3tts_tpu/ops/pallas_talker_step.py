@@ -339,7 +339,7 @@ def fused_talker_step(
     output_norm: jnp.ndarray | None = None,   # [H] -> also apply norm+head
     codec_head: jnp.ndarray | None = None,    # [H, Vc]
     mode: str = "w8a8",
-    layers_per_step: int = DEFAULT_LAYERS_PER_STEP,
+    layers_per_step: int | None = None,   # None => DEFAULT (bf16 mode: 1)
     seen: jnp.ndarray | None = None,       # [Vc] bool — enables cb0 sampling
     seeds: jnp.ndarray | None = None,      # scalar int32 counter-hash seed
     temperature=1.0, top_p=1.0, repetition_penalty=1.0,   # traced scalars
@@ -368,11 +368,12 @@ def fused_talker_step(
     C = kv.shape[3]
     half = D // 2
     QKV = (Hq + 2 * Hkv) * D
+    mode = _weight_mode(blocks, mode)
+    if layers_per_step is None:
+        # bf16 weight blocks are 2x int8: halve the default VMEM footprint
+        layers_per_step = 1 if mode == "bf16" else DEFAULT_LAYERS_PER_STEP
     lps = layers_per_step if L % layers_per_step == 0 else 1
     with_head = codec_head is not None
-    mode = _weight_mode(blocks, mode)
-    if mode == "bf16" and layers_per_step == DEFAULT_LAYERS_PER_STEP:
-        lps = 1   # bf16 weight blocks are 2x int8: halve the VMEM footprint
     sample_cb0 = seen is not None
     if sample_cb0:
         assert with_head, "cb0 sampling needs codec_head"
@@ -719,7 +720,7 @@ def fused_talker_step_hbm(
     output_norm: jnp.ndarray | None = None,
     codec_head: jnp.ndarray | None = None,
     mode: str = "w8a8",
-    layers_per_step: int = DEFAULT_LAYERS_PER_STEP,
+    layers_per_step: int | None = None,   # None => DEFAULT (bf16 mode: 1)
     chunk: int = _DEFAULT_KV_CHUNK,
     seen: jnp.ndarray | None = None,       # [Vc] bool — enables cb0 sampling
     seeds: jnp.ndarray | None = None,      # scalar int32 counter-hash seed
@@ -754,7 +755,6 @@ def fused_talker_step_hbm(
     C = kv_arr.shape[3]
     half = D // 2
     QKV = (Hq + 2 * Hkv) * D
-    lps = layers_per_step if L % layers_per_step == 0 else 1
     chunk = min(chunk, C)
     if kv_int8:
         chunk = _int8_chunk(C, chunk)
@@ -766,8 +766,10 @@ def fused_talker_step_hbm(
             chunk -= 1
     with_head = codec_head is not None
     mode = _weight_mode(blocks, mode)
-    if mode == "bf16" and layers_per_step == DEFAULT_LAYERS_PER_STEP:
-        lps = 1   # bf16 weight blocks are 2x int8: halve the VMEM footprint
+    if layers_per_step is None:
+        # bf16 weight blocks are 2x int8: halve the default VMEM footprint
+        layers_per_step = 1 if mode == "bf16" else DEFAULT_LAYERS_PER_STEP
+    lps = layers_per_step if L % layers_per_step == 0 else 1
     sample_cb0 = seen is not None
     if sample_cb0:
         assert with_head, "cb0 sampling needs codec_head"
@@ -1266,7 +1268,7 @@ def fused_talker_step_batched(
     output_norm: jnp.ndarray | None = None,
     codec_head: jnp.ndarray | None = None,
     mode: str = "w8a8",
-    chunk: int = _BATCHED_KV_CHUNK,
+    chunk: int | None = None,   # None => _BATCHED_KV_CHUNK (bf16 mode: half)
     kv_layout: str = "batch",
     seen: jnp.ndarray | None = None,       # [B, Vc] bool — enables cb0 sampling
     seeds: jnp.ndarray | None = None,      # [B] int32 counter-hash seeds
@@ -1318,9 +1320,10 @@ def fused_talker_step_batched(
     half = D // 2
     QKV = (Hq + 2 * Hkv) * D
     mode = _weight_mode(blocks, mode)
-    if mode == "bf16" and chunk == _BATCHED_KV_CHUNK:
-        chunk = _BATCHED_KV_CHUNK // 2   # bf16 weight blocks are 2x int8:
-        # shrink the KV slab so the double-buffered layer stream still fits
+    if chunk is None:
+        # bf16 weight blocks are 2x int8: shrink the KV slab so the
+        # double-buffered layer stream still fits
+        chunk = _BATCHED_KV_CHUNK // 2 if mode == "bf16" else _BATCHED_KV_CHUNK
     if kv_int8:
         chunk = _int8_chunk(C, _BATCHED_KV_CHUNK_INT8)
     else:

@@ -140,6 +140,18 @@ def _init_cb0(logits, key, talker_cfg, *, kernel_cb0, temperature, top_k,
     return jnp.zeros(logits.shape[:-1] + (0,), jnp.float32), cb0, key
 
 
+def _rest_embd_sum(cp_params, cp_cfg, rest):
+    """Sigma_cb code_pred_embd[cb-1][code_cb] term of the next talker step
+    embedding (reference src/tts_transformer.cpp:2759-2790); the table
+    alignment must match cp_model.predict_codes' embds[s-1] convention.
+    rest is [15] (single-stream) or [B, 15] (batched lanes)."""
+    idx = jnp.arange(cp_cfg.n_steps)
+    if rest.ndim == 2:
+        emb = cp_params.embds[idx[None, :], rest]        # [B, 15, H]
+        return jnp.sum(emb.astype(jnp.float32), axis=1)
+    return jnp.sum(cp_params.embds[idx, rest].astype(jnp.float32), axis=0)
+
+
 def generate(
     talker_params: talker_model.TalkerParams,
     cp_params: cp_model.CodePredictorParams,
@@ -287,8 +299,7 @@ def _make_body(
 
         # --- next-step input embedding ---
         if rest_sum is None:
-            rest_embds = cp_params.embds[jnp.arange(cp_cfg.n_steps), rest]   # [15, H]
-            rest_sum = jnp.sum(rest_embds.astype(jnp.float32), axis=0)
+            rest_sum = _rest_embd_sum(cp_params, cp_cfg, rest)
         trailing_row = prefill.trailing[jnp.minimum(s.frame, Trb - 1)]
         step_embd = (cb0_embd.astype(jnp.float32)
                      + rest_sum
@@ -491,10 +502,12 @@ def _generate_from_tokens_batched_jit(
     emissions. Shard the batch axis over the mesh's "dp" axis and the params
     over "tp" (parallel/shardings.py) for multi-chip serving.
 
-    With the batched fused code-predictor kernel available (TPU + int8 +
-    top_p off + B <= 16), a hand-batched loop replaces pure vmap: the kernel
-    reads the cp weights once per FRAME-SET instead of 15x and advances all
-    lanes through each AR step together (ops/pallas_code_predictor_batched)."""
+    With EITHER fused kernel available (TPU; any sampling config; B <= 64),
+    a hand-batched loop replaces pure vmap: the batched cp kernel (int8)
+    reads the cp weights once per FRAME-SET instead of 15x, the v3 batched
+    talker kernel streams its weights once for all lanes, and all lanes
+    advance through each AR step together. On the bf16 tier the cp side
+    falls back to a vmapped XLA predict_codes inside the same loop."""
     B = tokens.shape[0]
     # B capped at 64: the per-lane KV caches alone are 7.7 GB at B=128
     # (C=512) and the chip OOMs; past the cap the vmapped path at least
@@ -668,9 +681,7 @@ def _generate_batched_fused(
                     top_k=top_k, top_p=top_p, greedy=greedy,
                     use_top_p=use_top_p)
             )(s.last_hidden.astype(dtype), cb0_embd, k_cp)           # [B, 15]
-            rest_sum = jnp.sum(
-                cp_params.embds[jnp.arange(cp_cfg.n_steps)[None, :], rest]
-                .astype(jnp.float32), axis=1)                        # [B, H]
+            rest_sum = _rest_embd_sum(cp_params, cp_cfg, rest)       # [B, H]
         frame_codes = jnp.concatenate([cb0[:, None], rest], axis=1)
 
         # lanes are LOCKSTEP (frame[b] == it for every never-done lane), so

@@ -15,6 +15,12 @@ set -u
 cd "$(dirname "$0")/.."
 OUT=/tmp/hw_r2; mkdir -p "$OUT"
 
+# A dead tunnel HANGS backend init (CLAUDE.md); refuse to start blind.
+if ! timeout 240 python -c "import jax; print(jax.devices())"; then
+  echo "TPU tunnel down (device init did not answer in 240s) — aborting" >&2
+  exit 2
+fi
+
 step() {
   name=$1; shift
   echo "=== $name ==="
