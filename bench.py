@@ -209,6 +209,45 @@ def main() -> None:
             print(f"kernel smoke {name}: ok ({time.perf_counter() - t0:.1f}s)",
                   file=sys.stderr)
 
+        # on-hardware sampler check (VERDICT r1 weak #3): the Mosaic-compiled
+        # counter-hash temp/top-k/top-p sampler must reproduce the interpret-
+        # mode execution of the same math token-for-token over 128 seeds on
+        # one fixed logits row (ULP differences in exp/log may flip rare
+        # argmax near-ties; allow 2).
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+        from qwen3tts_tpu.ops.kernel_prng import make_sampler
+
+        Vs, R = 2048, 128
+        samp_fn = make_sampler(50, Vs, greedy=False, use_top_p=True)
+
+        def _samp_kernel(l_ref, s_ref, o_ref):
+            o_ref[...] = samp_fn(l_ref[...], jnp.float32(0.9),
+                                 jnp.float32(0.95), s_ref[...], jnp.int32(3))
+
+        lrow = jnp.broadcast_to(
+            jax.random.normal(jax.random.PRNGKey(5), (Vs,), jnp.float32) * 4.0,
+            (R, Vs))
+        seeds128 = jnp.arange(R, dtype=jnp.int32).reshape(R, 1)
+
+        def _run_samp(interp):
+            return pl.pallas_call(
+                _samp_kernel,
+                out_shape=jax.ShapeDtypeStruct((R, 1), jnp.int32),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                          pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                interpret=pltpu.InterpretParams() if interp else False,
+            )(lrow, seeds128)
+
+        hw = np.asarray(_run_samp(False)).ravel()
+        ref = np.asarray(_run_samp(True)).ravel()
+        n_agree = int((hw == ref).sum())
+        print(f"sampler smoke: {n_agree}/{R} tokens match interpret mode, "
+              f"{len(np.unique(hw))} distinct draws", file=sys.stderr)
+        assert n_agree >= R - 2, "Mosaic sampler diverged from interpret mode"
+        assert len(np.unique(hw)) > 10, "sampler draws look degenerate"
+
     def run_start(seed, n):
         # prefill + first chunk, one dispatch (the streaming TTFA path)
         return decode_loop.generate_start(
