@@ -1324,6 +1324,10 @@ def fused_talker_step_batched(
         # bf16 weight blocks are 2x int8: shrink the KV slab so the
         # double-buffered layer stream still fits
         chunk = _BATCHED_KV_CHUNK // 2 if mode == "bf16" else _BATCHED_KV_CHUNK
+        # the double-buffered slab scales with B*chunk: keep it at the B=64
+        # budget (2 slots x B x 2 x Hkv x chunk x D) for larger batches
+        while B * chunk > 64 * _BATCHED_KV_CHUNK and chunk > 8:
+            chunk //= 2
     if kv_int8:
         chunk = _int8_chunk(C, _BATCHED_KV_CHUNK_INT8)
     else:

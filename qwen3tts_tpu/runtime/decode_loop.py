@@ -38,11 +38,15 @@ from ..ops.kernel_prng import sampling_flags
 from ..ops.sampling import apply_repetition_penalty, apply_suppression, sample_token
 
 # one batched code-predictor kernel call holds at most this many lanes in
-# VMEM (the 128 MB budget); generate_from_tokens_batched routes B <= 64
-# through the hand-batched fused loop and larger batches through the vmapped
-# XLA path. Measured at B=64: one 64-lane call 2.57 ms vs 4x16-lane chunks
-# 4.88 ms (the weights would be re-read per chunk).
+# VMEM (the 128 MB budget). Measured at B=64: one 64-lane call 2.57 ms vs
+# 4x16-lane chunks 4.88 ms (the weights are re-read per chunk), so chunking
+# only engages above 64 lanes.
 _CP_KERNEL_MAX_LANES = 64
+# the hand-batched fused loop accepts up to this many lanes (cp kernel runs
+# in <=64-lane chunks above 64; the talker kernel shrinks its KV slab);
+# larger batches fall to the vmapped XLA path. int8-KV at B=128 needs
+# ~3.9 GB of cache (bf16: 7.7 — near the chip's limit with weights).
+_BATCHED_FUSED_MAX_LANES = 128
 
 
 def _resolve_fused_talker(fused_talker, talker_params) -> bool:
@@ -509,14 +513,13 @@ def _generate_from_tokens_batched_jit(
     advance through each AR step together. On the bf16 tier the cp side
     falls back to a vmapped XLA predict_codes inside the same loop."""
     B = tokens.shape[0]
-    # B capped at 64: the per-lane KV caches alone are 7.7 GB at B=128
-    # (C=512) and the chip OOMs; past the cap the vmapped path at least
-    # shares its buffers with XLA's allocator. The hand-batched loop engages
-    # when EITHER kernel is available (bf16 tier: v3 batched talker kernel +
-    # vmapped XLA code predictor).
+    # The hand-batched loop engages when EITHER kernel is available (bf16
+    # tier: v3 batched talker kernel + vmapped XLA code predictor); past the
+    # lane cap the vmapped path at least shares its buffers with XLA's
+    # allocator.
     if ((_resolve_fused_cp(fused_cp, cp_params)
          or _resolve_fused_talker(fused_talker, talker_params))
-            and B <= _CP_KERNEL_MAX_LANES):
+            and B <= _BATCHED_FUSED_MAX_LANES):
         return _generate_batched_fused(
             talker_params, cp_params, tokens, n_tokens, speaker_embd,
             language_id, keys, talker_cfg=talker_cfg, cp_cfg=cp_cfg,
@@ -668,10 +671,18 @@ def _generate_batched_fused(
         if use_fused_cp:
             seeds = jax.vmap(lambda kk: lax.bitcast_convert_type(
                 jax.random.bits(kk, (), "uint32"), jnp.int32))(k_cp)   # [B]
-            rest, rest_sum = fused_predict_codes_batched(
-                cp_params, cp_cfg, s.last_hidden.astype(dtype), cb0_embd,
-                seeds, temperature=temperature, top_k=top_k, top_p=top_p,
+            # above the kernel's VMEM lane cap, run it in <=64-lane chunks
+            # (weights re-read per chunk — only worth it past 64 lanes)
+            hidden_in = s.last_hidden.astype(dtype)
+            outs = [fused_predict_codes_batched(
+                cp_params, cp_cfg, hidden_in[o:o + _CP_KERNEL_MAX_LANES],
+                cb0_embd[o:o + _CP_KERNEL_MAX_LANES],
+                seeds[o:o + _CP_KERNEL_MAX_LANES],
+                temperature=temperature, top_k=top_k, top_p=top_p,
                 greedy=greedy, use_top_p=use_top_p)
+                for o in range(0, B, _CP_KERNEL_MAX_LANES)]
+            rest = jnp.concatenate([r for r, _ in outs], axis=0)
+            rest_sum = jnp.concatenate([rs for _, rs in outs], axis=0)
         else:
             # unquantized (bf16) tier: XLA code predictor, vmapped with each
             # lane's k_cp — identical key usage to the single-stream XLA path

@@ -312,3 +312,48 @@ def test_hand_batched_loop_bf16_xla_cp_matches_single_stream():
             np.testing.assert_array_equal(
                 np.asarray(batched.codes[b]), np.asarray(single.codes),
                 err_msg=f"lane {b} t={temperature}")
+
+
+def test_hand_batched_loop_chunked_cp_matches_single_stream(monkeypatch):
+    """Above _CP_KERNEL_MAX_LANES the hand-batched loop runs the cp kernel
+    in lane chunks (the B=128 serving route). Force a tiny cap so B=5 takes
+    the chunked path and assert lane-for-lane parity with single-stream."""
+    import numpy as np
+    from qwen3tts_tpu.models import talker as talker_model
+    from qwen3tts_tpu.ops.quant import quantize_block_params
+    from qwen3tts_tpu.runtime import decode_loop
+
+    monkeypatch.setattr(decode_loop, "_CP_KERNEL_MAX_LANES", 2)
+
+    cfg = tiny_pipeline_config()
+    tcfg, ccfg = cfg.talker, cfg.code_predictor
+    k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+    tp = talker_model.init_talker_params(k1, tcfg, jnp.float32)
+    cp = cp_model.init_code_predictor_params(k2, ccfg, jnp.float32)
+    tpq = tp._replace(blocks=quantize_block_params(tp.blocks))
+    cpq = cp._replace(blocks=quantize_block_params(cp.blocks))
+
+    Bn, Tb, maxF, KV = 5, 16, 3, 32
+    rng = np.random.default_rng(2)
+    tokens = np.zeros((Bn, Tb), np.int32)
+    tokens[:, :12] = rng.integers(2, 400, size=(Bn, 12))
+    n_tok = jnp.full((Bn,), 12, jnp.int32)
+    spk = jnp.zeros((Bn, tcfg.hidden_size), jnp.float32)
+    lang = jnp.full((Bn,), 2050, jnp.int32)
+    keys = jax.random.split(jax.random.PRNGKey(13), Bn)
+
+    batched = decode_loop._generate_batched_fused(
+        tpq, cpq, jnp.asarray(tokens), n_tok, spk, lang, keys,
+        talker_cfg=tcfg, cp_cfg=ccfg, max_frames=maxF, kv_capacity=KV,
+        temperature=0.9, top_k=6, top_p=1.0, repetition_penalty=1.05,
+        nothink=False)
+    for b in range(Bn):
+        single = decode_loop.generate_from_tokens(
+            tpq, cpq, jnp.asarray(tokens[b]), n_tok[b], spk[b], lang[b],
+            keys[b], talker_cfg=tcfg, cp_cfg=ccfg, max_frames=maxF,
+            kv_capacity=KV, temperature=0.9, top_k=6,
+            repetition_penalty=1.05, fused_cp=True, fused_talker=False)
+        assert int(batched.n_frames[b]) == int(single.n_frames)
+        np.testing.assert_array_equal(
+            np.asarray(batched.codes[b]), np.asarray(single.codes),
+            err_msg=f"lane {b}")
