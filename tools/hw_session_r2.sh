@@ -37,4 +37,6 @@ step serving_b64_int8_nocb0 env QWEN3TTS_KERNEL_CB0=0 python tools/benchmark_ser
 step serving_b64_q4        env QWEN3TTS_BENCH_QUANT=q4 python tools/benchmark_serving.py --batch 64
 step bench_bf16            env QWEN3TTS_BENCH_QUANT=bf16 python bench.py
 step bench_q4              env QWEN3TTS_BENCH_QUANT=q4 python bench.py
+step serving_b128_int8kv   env QWEN3TTS_KV_INT8=1 python tools/benchmark_serving.py --batch 128 --skip-long
+step serving_b128_bf16kv   python tools/benchmark_serving.py --batch 128 --skip-long
 echo "=== done; compare within THIS session only (tunnel alloc varies 2x) ==="
