@@ -41,6 +41,43 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_FRAMES_PER_S = 3.2  # README.md:276-295 (92-frame run, Apple silicon)
 
 
+def _regression_verdict(result: dict) -> dict | None:
+    """Diff this run against the most recent prior BENCH_r*.json whose parsed
+    record succeeded on the same quant tier. PASS/REGRESS per metric with the
+    known ±30% tunnel wall-time band (CLAUDE.md: same code has measured ±30%
+    run-to-run over the tunnel; only >30% worse is called a regression).
+    Purely informational — never fails the bench."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = None
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                       reverse=True):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except Exception:
+            continue
+        p = rec.get("parsed") or {}
+        if rec.get("rc") == 0 and p.get("quant") == result.get("quant"):
+            prior = (os.path.basename(path), p)
+            break
+    if prior is None:
+        return None
+    name, p = prior
+    comp = {"prior_record": name}
+    for k, higher_better in (("value", True), ("frames_per_s", True),
+                             ("gen_ms_per_frame", False),
+                             ("ttfa_p50_ms", False), ("e2e_ms", False)):
+        if k in p and p[k] and k in result:
+            delta = (result[k] - p[k]) / p[k]
+            worse = -delta if higher_better else delta
+            comp[k] = {"prior": p[k], "now": result[k],
+                       "delta_pct": round(100 * delta, 1),
+                       "verdict": "REGRESS" if worse > 0.30 else "PASS"}
+    return comp
+
+
 def _device_init_watchdog(seconds: int = 600):
     """Fail fast if backend init stalls: a DEAD remote-TPU tunnel makes
     jax.devices() hang indefinitely (observed >20 min) rather than raise.
@@ -85,18 +122,12 @@ def main() -> None:
 
     t0 = time.perf_counter()
     tp, cp, vp = jax.block_until_ready(init_all())
-    if quant == "int8":
-        from qwen3tts_tpu.ops.quant import quantize_block_params
-        tp = tp._replace(blocks=quantize_block_params(tp.blocks))
-        cp = cp._replace(blocks=quantize_block_params(cp.blocks))
-        jax.block_until_ready((tp.blocks.wqkv.q, cp.blocks.wqkv.q))
-    elif quant == "q4":
-        # Q4_K-quality serving tier: 4-bit talker (per-32-group affine
-        # scales, w4 fused kernel), int8 cp — mirrors pipeline.py's
-        # quant="q4" policy
+    if quant in ("int8", "q4", "q4pure"):
+        # mirrors pipeline.py's tiers: int8 = Q8_0-parity; q4 = MIXED
+        # attn-int8/ffn-u4 (the 4-bit default); q4pure = all-u4
         from qwen3tts_tpu.ops.quant import (
-            quantize_block_params, quantize_block_params_w4)
-        tp = tp._replace(blocks=quantize_block_params_w4(tp.blocks))
+            quantize_block_params, quantize_talker_blocks)
+        tp = tp._replace(blocks=quantize_talker_blocks(tp.blocks, quant))
         cp = cp._replace(blocks=quantize_block_params(cp.blocks))
         jax.block_until_ready((tp.blocks.wqkv.q, cp.blocks.wqkv.q))
     print(f"param init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
@@ -184,7 +215,7 @@ def main() -> None:
                 output_norm=tp.output_norm, codec_head=tp.codec_head,
                 **sampB)[1]),
         ]
-        if quant in ("int8", "q4"):
+        if quant in ("int8", "q4", "q4pure"):
             smokes += [
                 ("cp_fused", lambda: fused_predict_codes(
                     cp, ccfg, x1, x1, jnp.int32(0),
@@ -375,6 +406,9 @@ def main() -> None:
         "quant": quant,
         "device": str(dev),
     }
+    vs = _regression_verdict(result)
+    if vs is not None:
+        result["vs_prior"] = vs
     print(json.dumps(result))
 
 

@@ -36,10 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Language: " + ",".join(sorted(k for k in LANGUAGE_IDS if len(k) == 2)))
     p.add_argument("--seed", type=int, default=0, help="Sampling PRNG seed")
     p.add_argument("--dtype", choices=["bfloat16", "float32"], default="bfloat16")
-    p.add_argument("--quant", choices=["none", "int8", "q4"], default="none",
+    p.add_argument("--quant", choices=["none", "int8", "q4", "q4pure"],
+                   default="none",
                    help="Weight quantization (int8 = Q8_0-parity serving mode; "
-                        "q4 = Q4_K-tier 4-bit talker weights, lossier/faster; "
-                        "both engage the fused Pallas decode kernels on TPU)")
+                        "q4 = mixed attn-int8/ffn-4bit talker — higher quality "
+                        "than the reference's Q4_K; q4pure = all-4bit talker, "
+                        "smallest/lossiest; all engage the fused Pallas "
+                        "decode kernels on TPU)")
     p.add_argument("--synthetic", action="store_true",
                    help="Run with deterministic synthetic weights (no checkpoint needed)")
     p.add_argument("--progress", action="store_true", help="Print per-frame progress")

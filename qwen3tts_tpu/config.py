@@ -191,7 +191,9 @@ class RuntimeConfig:
     # Parameter / activation compute dtype ("bfloat16" or "float32").
     dtype: str = "bfloat16"
     # Weight quantization: None | "int8" (Q8_0-parity selective policy) |
-    # "q4" (Q4_K-tier: 4-bit talker blocks + int8 code predictor).
+    # "q4" (mixed attn-int8/ffn-u4 talker — the 4-bit default, beats the
+    # reference's Q4_K storage quality) | "q4pure" (all-u4 talker, smallest).
+    # The code predictor is int8 in every quantized tier.
     quant: str | None = None
     # Prefill-length buckets (text prompts are padded up to one of these).
     prefill_buckets: Tuple[int, ...] = (16, 32, 64, 128, 256, 512)

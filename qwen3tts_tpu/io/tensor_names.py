@@ -142,3 +142,10 @@ def should_quantize_q8(ggml_name: str) -> bool:
     keep_f16 = ("_embd", "codebook", "_norm", "norm.", ".bias", "lm_head",
                 "codec_head", "scale", "alpha", "beta", "gamma", "usage")
     return not any(s in ggml_name for s in keep_f16)
+
+
+def is_ffn_projection(ggml_name: str) -> bool:
+    """True for transformer-block FFN projection matrices (ffn_gate/up/down)
+    — the 4-bit leg of the MIXED storage policy (attn stays Q8_0). Matches
+    the runtime policy in ops/quant.quantize_block_params_mixed."""
+    return any(s in ggml_name for s in ("ffn_gate", "ffn_up", "ffn_down"))

@@ -75,7 +75,12 @@ def _make_mm(mode):
     unpacks into two contiguous halves (mask/shift only, no interleave),
     each dequantized in-register with its group-broadcast scales and dotted
     in bf16 ("w4bf16") or f32 ("w4dequant") — halved HBM weight traffic; the
-    group scales are what keep the 4-bit tier servable (cosine >= 0.99)."""
+    group scales are what keep the 4-bit tier servable (cosine >= 0.99).
+
+    `mode` may also be a 4-tuple of per-weight modes in (wqkv, wo, w_gateup,
+    w_down) order — the MIXED tier (attn int8 / ffn u4) resolves there; call
+    sites select their slot via mm's `which` argument."""
+    modes = (mode,) * 4 if isinstance(mode, str) else tuple(mode)
 
     def quant_act(x):
         # per-row scales: one token per row (M=1 single-stream; M=B lanes in
@@ -89,7 +94,8 @@ def _make_mm(mode):
         return jax.lax.dot_general(
             a, b, (((1,), (0,)), ((), ())), preferred_element_type=accum_dtype)
 
-    def mm(x, wq_ref, ws_ref, j):
+    def mm(x, wq_ref, ws_ref, j, which=0):
+        mode = modes[which]
         wq = wq_ref[0, j]
         ws = ws_ref[0, j].astype(jnp.float32)
         if mode in ("w4bf16", "w4dequant"):
@@ -130,14 +136,22 @@ def _make_mm(mode):
 
 
 def _weight_mode(blocks, mode):
-    """Resolve the kernel weight mode from the block pytree's leaf type."""
+    """Resolve the kernel weight mode from the block pytree's leaf types.
+    Homogeneous blocks yield one string; the MIXED tier (attn int8 / ffn u4,
+    ops/quant.quantize_block_params_mixed) yields a 4-tuple in
+    (wqkv, wo, w_gateup, w_down) order that _make_mm resolves per call."""
     from .quantized_matmul import QuantLinear, QuantLinear4
 
-    if isinstance(blocks.wqkv, QuantLinear4):
-        return "w4dequant" if mode == "dequant" else "w4bf16"
-    if not isinstance(blocks.wqkv, QuantLinear):
-        return "bf16"   # plain [L, K, N] arrays: the full-precision tier
-    return mode
+    def leaf(w):
+        if isinstance(w, QuantLinear4):
+            return "w4dequant" if mode == "dequant" else "w4bf16"
+        if not isinstance(w, QuantLinear):
+            return "bf16"   # plain [L, K, N] arrays: the full-precision tier
+        return mode
+
+    ms = tuple(leaf(w) for w in (blocks.wqkv, blocks.wo,
+                                 blocks.w_gateup, blocks.w_down))
+    return ms[0] if len(set(ms)) == 1 else ms
 
 
 def _weight_specs_and_operands(blocks, blk, grp):
@@ -259,7 +273,7 @@ def _make_kernel(cfg, C, *, mode, kv_dtype, lps, with_head, sample=None):
         for j in range(lps):
             l = g * lps + j
             h = _rms(x, attn_n_ref[l], eps)
-            qkv = mm(h, wqkv_q, wqkv_s, j)
+            qkv = mm(h, wqkv_q, wqkv_s, j, 0)
 
             # lane->sublane relayout through scratch (per-head rows)
             for i in range(Hq + 2 * Hkv):
@@ -297,12 +311,12 @@ def _make_kernel(cfg, C, *, mode, kv_dtype, lps, with_head, sample=None):
                     sc_flat[0:1, (hh * G + gg) * D:(hh * G + gg + 1) * D] = \
                         oh[gg:gg + 1, :]
 
-            x = x + mm(sc_flat[...], wo_q, wo_s, j)
+            x = x + mm(sc_flat[...], wo_q, wo_s, j, 1)
             h = _rms(x, ffn_n_ref[l], eps)
-            gu = mm(h, wgu_q, wgu_s, j)
+            gu = mm(h, wgu_q, wgu_s, j, 2)
             gate = gu[:, :F]
             gate = gate / (1.0 + jnp.exp(-gate))
-            x = x + mm(gate * gu[:, F:], wd_q, wd_s, j)
+            x = x + mm(gate * gu[:, F:], wd_q, wd_s, j, 3)
 
         x_ref[...] = x
 
@@ -563,7 +577,7 @@ def _make_kernel_hbm(cfg, C, *, mode, kv_dtype, lps, with_head, chunk,
         for j in range(lps):
             l = g * lps + j
             h = _rms(x, attn_n_ref[l], eps)
-            qkv = mm(h, wqkv_q, wqkv_s, j)
+            qkv = mm(h, wqkv_q, wqkv_s, j, 0)
 
             for i in range(Hq + 2 * Hkv):
                 sc_heads[i:i + 1, :] = qkv[:, i * D:(i + 1) * D]
@@ -678,12 +692,12 @@ def _make_kernel_hbm(cfg, C, *, mode, kv_dtype, lps, with_head, chunk,
                     sc_flat[0:1, (hh * G + gg) * D:(hh * G + gg + 1) * D] = \
                         o[gg:gg + 1, :]
 
-            x = x + mm(sc_flat[...], wo_q, wo_s, j)
+            x = x + mm(sc_flat[...], wo_q, wo_s, j, 1)
             h = _rms(x, ffn_n_ref[l], eps)
-            gu = mm(h, wgu_q, wgu_s, j)
+            gu = mm(h, wgu_q, wgu_s, j, 2)
             gate = gu[:, :F]
             gate = gate / (1.0 + jnp.exp(-gate))
-            x = x + mm(gate * gu[:, F:], wd_q, wd_s, j)
+            x = x + mm(gate * gu[:, F:], wd_q, wd_s, j, 3)
 
         x_ref[...] = x
 
@@ -964,7 +978,7 @@ def _make_kernel_batched_lane(cfg, B, C, *, mode, kv_dtype, with_head, chunk):
                 [t1 * cos - t2 * sin, t1 * sin + t2 * cos], axis=-1)
 
         h = _rms(x, attn_n_ref[l], eps)
-        qkv = mm(h, wqkv_q, wqkv_s, 0)                   # [B, QKV] f32
+        qkv = mm(h, wqkv_q, wqkv_s, 0, 0)                   # [B, QKV] f32
 
         def head(i):
             return qkv[:, i * D:(i + 1) * D]
@@ -1044,12 +1058,12 @@ def _make_kernel_batched_lane(cfg, B, C, *, mode, kv_dtype, with_head, chunk):
                 o = (acc[i] * alpha + p_cur * vc) / jnp.maximum(l_fin, 1e-30)
                 o_ref[:, i * D:(i + 1) * D] = o           # [B, D] lane slice
 
-        x = x + mm(o_ref[...], wo_q, wo_s, 0)
+        x = x + mm(o_ref[...], wo_q, wo_s, 0, 1)
         hff = _rms(x, ffn_n_ref[l], eps)
-        gu = mm(hff, wgu_q, wgu_s, 0)
+        gu = mm(hff, wgu_q, wgu_s, 0, 2)
         gate = gu[:, :F]
         gate = gate / (1.0 + jnp.exp(-gate))
-        x = x + mm(gate * gu[:, F:], wd_q, wd_s, 0)
+        x = x + mm(gate * gu[:, F:], wd_q, wd_s, 0, 3)
 
         x_ref[...] = x
 
@@ -1069,7 +1083,7 @@ def _make_kernel_batched_lane(cfg, B, C, *, mode, kv_dtype, with_head, chunk):
 
 
 def _make_kernel_batched(cfg, B, C, *, mode, kv_dtype, with_head, chunk,
-                         kv_int8=False, sample=None):
+                         kv_int8=False, sample=None, with_start=False):
     H = cfg.hidden_size
     L = cfg.n_layers
     Hq, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -1085,6 +1099,11 @@ def _make_kernel_batched(cfg, B, C, *, mode, kv_dtype, with_head, chunk,
                wqkv_q, wqkv_s, wo_q, wo_s, wgu_q, wgu_s, wd_q, wd_s,
                *rest):
         rest = list(rest)
+        if with_start:
+            # continuous batching: per-lane first-valid cache column
+            # (runtime/continuous.py splices refilled requests mid-cache)
+            start_ref = rest.pop(0)   # VMEM [B, 1] int32
+            smin_ref = rest.pop(0)    # SMEM (1, 1) int32: min over lanes
         if with_head:
             out_n_ref, head_ref = rest[0], rest[1]
             del rest[:2]
@@ -1103,6 +1122,11 @@ def _make_kernel_batched(cfg, B, C, *, mode, kv_dtype, with_head, chunk,
         l = pl.program_id(0)
         n_past = n_past_ref[0, 0]
         trip = lax.div(n_past + (chunk - 1), jnp.int32(chunk))
+        # chunks fully below every lane's start hold no valid columns for
+        # anyone — skip their DMAs entirely (the oldest active request's
+        # splice point advances through a serving session)
+        t0 = (lax.div(smin_ref[0, 0], jnp.int32(chunk)) if with_start
+              else jnp.int32(0))
 
         @pl.when(l == 0)
         def _():
@@ -1119,7 +1143,7 @@ def _make_kernel_batched(cfg, B, C, *, mode, kv_dtype, with_head, chunk,
                 [t1 * cos - t2 * sin, t1 * sin + t2 * cos], axis=-1)
 
         h = _rms(x, attn_n_ref[l], eps)
-        qkv = mm(h, wqkv_q, wqkv_s, 0)                   # [B, QKV] f32
+        qkv = mm(h, wqkv_q, wqkv_s, 0, 0)                   # [B, QKV] f32
 
         # per-head views are [B, D] LANE slices — no relayout at M=B
         def head(i):
@@ -1155,9 +1179,9 @@ def _make_kernel_batched(cfg, B, C, *, mode, kv_dtype, with_head, chunk,
             for cp in dma(c, slot):
                 cp.wait()
 
-        @pl.when(trip > 0)
+        @pl.when(trip > t0)
         def _():
-            dma_start(jnp.int32(0), jnp.int32(0))
+            dma_start(t0, lax.rem(t0, 2))
 
         # flash state stacked [Hq, B, *]; per-pair updates rebuild the stack
         # by concatenation on the untiled leading axis
@@ -1172,6 +1196,8 @@ def _make_kernel_batched(cfg, B, C, *, mode, kv_dtype, with_head, chunk,
             dma_wait(c, slot)
             col = c * chunk + lax.broadcasted_iota(jnp.int32, (B, chunk), 1)
             valid = col < n_past                          # [B, chunk]
+            if with_start:
+                valid = valid & (col >= start_ref[...])   # [B,1] broadcast
             ms, ls, accs = [], [], []
             for hh in range(Hkv):
                 kc = kv_buf[slot, :, 0, hh].astype(jnp.float32)   # [B, ch, D]
@@ -1206,7 +1232,7 @@ def _make_kernel_batched(cfg, B, C, *, mode, kv_dtype, with_head, chunk,
         m0 = jnp.full((Hq, B, 1), NEG_INF, jnp.float32)
         l0 = jnp.zeros((Hq, B, 1), jnp.float32)
         a0 = jnp.zeros((Hq, B, D), jnp.float32)
-        m, lsum, acc = lax.fori_loop(0, trip, chunk_body, (m0, l0, a0))
+        m, lsum, acc = lax.fori_loop(t0, trip, chunk_body, (m0, l0, a0))
 
         # fold in the current step's K/V as one extra attention column
         for hh in range(Hkv):
@@ -1223,12 +1249,12 @@ def _make_kernel_batched(cfg, B, C, *, mode, kv_dtype, with_head, chunk,
                 o = (acc[i] * alpha + p_cur * vc) / jnp.maximum(l_fin, 1e-30)
                 o_ref[:, i * D:(i + 1) * D] = o           # [B, D] lane slice
 
-        x = x + mm(o_ref[...], wo_q, wo_s, 0)
+        x = x + mm(o_ref[...], wo_q, wo_s, 0, 1)
         hff = _rms(x, ffn_n_ref[l], eps)
-        gu = mm(hff, wgu_q, wgu_s, 0)
+        gu = mm(hff, wgu_q, wgu_s, 0, 2)
         gate = gu[:, :F]
         gate = gate / (1.0 + jnp.exp(-gate))
-        x = x + mm(gate * gu[:, F:], wd_q, wd_s, 0)
+        x = x + mm(gate * gu[:, F:], wd_q, wd_s, 0, 3)
 
         x_ref[...] = x
 
@@ -1272,6 +1298,7 @@ def fused_talker_step_batched(
     kv_layout: str = "batch",
     seen: jnp.ndarray | None = None,       # [B, Vc] bool — enables cb0 sampling
     seeds: jnp.ndarray | None = None,      # [B] int32 counter-hash seeds
+    start: jnp.ndarray | None = None,      # [B] int32 first-valid cache column
     temperature=1.0, top_p=1.0, repetition_penalty=1.0,   # traced scalars
     top_k: int = 0,
     suppress_start: int | None = None,
@@ -1301,6 +1328,11 @@ def fused_talker_step_batched(
         contiguous chunk*B*D run per trip. Opt-in
         (QWEN3TTS_BATCHED_KV_LAYOUT=lane): wins ~8% at shallow history,
         loses ~3% deep; e2e serving a wash (see _make_kernel_batched_lane).
+
+    `start` ([B] int32, batch-major only): per-lane first-valid cache
+    column for continuous batching — a refilled lane spliced its prefill at
+    [start, n_past) and columns below start belong to the previous occupant
+    (runtime/continuous.py). Chunks below min(start) skip their DMA.
     """
     if jax.default_backend() == "cpu":
         interpret = True
@@ -1348,6 +1380,9 @@ def fused_talker_step_batched(
               * cfg.rope_theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half))
     cos, sin = jnp.cos(angles)[None, :], jnp.sin(angles)[None, :]
 
+    with_start = start is not None
+    assert not (with_start and lane_major), \
+        "per-lane start (continuous batching) needs the batch-major layout"
     if lane_major:
         kernel = _make_kernel_batched_lane(
             cfg, B, C, mode=mode, kv_dtype=row_dtype, with_head=with_head,
@@ -1355,7 +1390,8 @@ def fused_talker_step_batched(
     else:
         kernel = _make_kernel_batched(
             cfg, B, C, mode=mode, kv_dtype=row_dtype, with_head=with_head,
-            chunk=chunk, kv_int8=kv_int8, sample=sample)
+            chunk=chunk, kv_int8=kv_int8, sample=sample,
+            with_start=with_start)
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def blk(shape):
@@ -1379,6 +1415,10 @@ def fused_talker_step_batched(
         blocks.attn_norm[:, None, :], blocks.q_norm[:, None, :],
         blocks.k_norm[:, None, :], blocks.ffn_norm[:, None, :],
     ] + wops
+    if with_start:
+        in_specs += [vmem_full, pl.BlockSpec(memory_space=pltpu.SMEM)]
+        start_col = jnp.asarray(start, jnp.int32).reshape(B, 1)
+        operands += [start_col, jnp.min(start_col).reshape(1, 1)]
     if with_head:
         Vc = codec_head.shape[-1]
         in_specs += [vmem_full, vmem_full]

@@ -105,7 +105,7 @@ def resolve_kv_quant(rt, *, kv_capacity: int = 0, batched: bool = False) -> str:
     if env in ("0", "false", "off"):
         return "none"
     if env in ("1", "true", "on"):
-        return "int8" if rt.quant in ("int8", "q4") else "none"
+        return "int8" if rt.quant in ("int8", "q4", "q4pure") else "none"
     mode = getattr(rt, "kv_quant", "auto")
     if mode != "auto":
         return mode
@@ -276,21 +276,16 @@ class Qwen3TTS:
             st = self._open_tts_checkpoint()
             self.talker_params = loader_mod.load_talker(st, cfg.talker, self.dtype)
             self.cp_params = loader_mod.load_code_predictor(st, cfg.code_predictor, self.dtype)
-        if cfg.runtime.quant == "int8":
-            from .ops.quant import quantize_block_params
+        if cfg.runtime.quant in ("int8", "q4", "q4pure"):
+            # Serving tiers (ops/quant.quantize_talker_blocks): "int8" Q8_0-
+            # parity; "q4" the MIXED attn-int8/ffn-u4 4-bit default (beats the
+            # reference's own Q4_K storage quality — 0.9748 vs 0.9238 prefill-
+            # logits cosine on identical weights); "q4pure" all-u4. The code
+            # predictor is int8 in every tier.
+            from .ops.quant import quantize_block_params, quantize_talker_blocks
             self.talker_params = self.talker_params._replace(
-                blocks=quantize_block_params(self.talker_params.blocks))
-            self.cp_params = self.cp_params._replace(
-                blocks=quantize_block_params(self.cp_params.blocks))
-        elif cfg.runtime.quant == "q4":
-            # Q4_K-tier serving: talker blocks at 4-bit (the weight-DMA-bound
-            # stage; split-half nibble packing, w4a8 fused kernel), code
-            # predictor at int8 (its weights are VMEM-resident in the fused
-            # kernel — read once per frame — so 4-bit buys little there and
-            # int8 keeps its accuracy higher).
-            from .ops.quant import quantize_block_params, quantize_block_params_w4
-            self.talker_params = self.talker_params._replace(
-                blocks=quantize_block_params_w4(self.talker_params.blocks))
+                blocks=quantize_talker_blocks(
+                    self.talker_params.blocks, cfg.runtime.quant))
             self.cp_params = self.cp_params._replace(
                 blocks=quantize_block_params(self.cp_params.blocks))
 

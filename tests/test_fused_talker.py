@@ -710,3 +710,158 @@ def test_single_stream_kernel_cb0_sampling_greedy_parity(setup):
             eos_id=cfg.codec_eos_id, greedy=True, use_top_p=False,
             interpret=True, **kwargs)
         assert int(cb0) == want, fn.__name__
+
+
+# ---------------------------------------------------------------------------
+# MIXED tier: attn int8 / ffn u4 (ops/quant.quantize_block_params_mixed) —
+# the policy behind quant="q4". Per-weight modes resolve inside _make_mm.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mixedsetup(setup):
+    from qwen3tts_tpu.ops.quant import (
+        dequantize, dequantize4, quantize_block_params_mixed)
+
+    cfg, params, _, _, kv, x = setup
+    mblocks = quantize_block_params_mixed(params.blocks)
+    deqm_blocks = mblocks._replace(
+        wqkv=dequantize(mblocks.wqkv, jnp.float32),
+        wo=dequantize(mblocks.wo, jnp.float32),
+        w_gateup=dequantize4(mblocks.w_gateup, jnp.float32),
+        w_down=dequantize4(mblocks.w_down, jnp.float32),
+    )
+    return cfg, params, mblocks, deqm_blocks, kv, x
+
+
+def test_quantize_talker_blocks_tiers(setup):
+    """Tier-name -> block-policy mapping (quant="q4" is the MIXED tier)."""
+    from qwen3tts_tpu.ops.quant import quantize_talker_blocks
+    from qwen3tts_tpu.ops.quantized_matmul import QuantLinear, QuantLinear4
+
+    cfg, params, *_ = setup
+    b8 = quantize_talker_blocks(params.blocks, "int8")
+    assert all(isinstance(w, QuantLinear)
+               for w in (b8.wqkv, b8.wo, b8.w_gateup, b8.w_down))
+    bm = quantize_talker_blocks(params.blocks, "q4")
+    assert isinstance(bm.wqkv, QuantLinear) and isinstance(bm.wo, QuantLinear)
+    assert (isinstance(bm.w_gateup, QuantLinear4)
+            and isinstance(bm.w_down, QuantLinear4))
+    bp = quantize_talker_blocks(params.blocks, "q4pure")
+    assert all(isinstance(w, QuantLinear4)
+               for w in (bp.wqkv, bp.wo, bp.w_gateup, bp.w_down))
+    with pytest.raises(ValueError):
+        quantize_talker_blocks(params.blocks, "fp8")
+
+
+def test_mixed_weight_mode_resolution(mixedsetup):
+    cfg, params, mblocks, deqm_blocks, kv, x = mixedsetup
+    assert pts._weight_mode(mblocks, "w8a8") == (
+        "w8a8", "w8a8", "w4bf16", "w4bf16")
+    assert pts._weight_mode(mblocks, "dequant") == (
+        "dequant", "dequant", "w4dequant", "w4dequant")
+
+
+@pytest.mark.parametrize("variant", ["v1", "v2"])
+def test_mixed_dequant_matches_forward_step(mixedsetup, variant):
+    """v1/v2 with MIXED blocks (mode="dequant" resolves per-weight) match the
+    XLA step on the per-leaf-dequantized weights exactly."""
+    cfg, params, mblocks, deqm_blocks, kv, x = mixedsetup
+    n_past = jnp.int32(7)
+    hidden_ref, kv_ref = forward_step(
+        deqm_blocks, talker_model.core_config(cfg), x, n_past, kv)
+    fn = pts.fused_talker_step if variant == "v1" else pts.fused_talker_step_hbm
+    kwargs = {} if variant == "v1" else {"chunk": 8}
+    hidden_k, kv_k = fn(
+        mblocks, cfg, x, n_past, kv, mode="dequant", interpret=True, **kwargs)
+    np.testing.assert_allclose(
+        np.asarray(hidden_k), np.asarray(hidden_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(kv_k), np.asarray(kv_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_mixed_serving_mode_close_with_head(mixedsetup):
+    """Auto-resolved mixed serving modes (attn w8a8, ffn w4bf16) with the
+    fused head stay close to the dequant reference."""
+    cfg, params, mblocks, deqm_blocks, kv, x = mixedsetup
+    from qwen3tts_tpu.ops.norms import rms_norm
+
+    n_past = jnp.int32(3)
+    hidden_d, _ = pts.fused_talker_step(
+        mblocks, cfg, x, n_past, kv, mode="dequant", interpret=True)
+    hidden_q, logits_q, _ = pts.fused_talker_step(
+        mblocks, cfg, x, n_past, kv, layers_per_step=2,
+        output_norm=params.output_norm, codec_head=params.codec_head,
+        interpret=True)
+    ref = np.asarray(rms_norm(hidden_d, params.output_norm, cfg.rms_norm_eps))
+    err = np.abs(np.asarray(hidden_q) - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 0.15, f"mixed serving-mode relative error too large: {err}"
+    assert np.isfinite(np.asarray(logits_q)).all()
+
+
+def test_batched_kernel_mixed(mixedsetup):
+    """v3 batched with MIXED blocks: dequant parity + the serving mode with
+    head fusion and cb0 sampling emits valid tokens."""
+    cfg, params, mblocks, deqm_blocks, kv, x = mixedsetup
+    B = 4
+    Vc = params.codec_head.shape[-1]
+    suppress_start = Vc - cfg.n_suppressed_tail
+    n_past = jnp.int32(6)
+    keys = jax.random.split(jax.random.PRNGKey(41), B)
+    xb = jax.vmap(lambda k: jax.random.normal(
+        k, (cfg.hidden_size,), jnp.float32))(keys)
+    kvb = jnp.stack([kv * (i + 1) * 0.2 for i in range(B)])
+
+    hidden_ref, kv_ref = jax.vmap(
+        lambda e, kvi: forward_step(
+            deqm_blocks, talker_model.core_config(cfg), e, n_past, kvi)
+    )(xb, kvb)
+    hd, kvd = pts.fused_talker_step_batched(
+        mblocks, cfg, xb, n_past, kvb, mode="dequant", chunk=8,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(hd), np.asarray(hidden_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(kvd), np.asarray(kv_ref),
+                               rtol=2e-4, atol=2e-4)
+
+    hq, cb0, _ = pts.fused_talker_step_batched(
+        mblocks, cfg, xb, n_past, kvb, chunk=8,
+        output_norm=params.output_norm, codec_head=params.codec_head,
+        seen=jnp.zeros((B, Vc), jnp.bool_),
+        seeds=jnp.arange(B, dtype=jnp.int32),
+        temperature=0.0, repetition_penalty=1.05,
+        suppress_start=suppress_start, eos_id=cfg.codec_eos_id,
+        greedy=True, use_top_p=False, interpret=True)
+    from qwen3tts_tpu.ops.norms import rms_norm
+    ref = np.asarray(jax.vmap(
+        lambda h: rms_norm(h, params.output_norm, cfg.rms_norm_eps))(hd))
+    err = np.abs(np.asarray(hq) - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 0.15, f"mixed batched relative error too large: {err}"
+    cb0 = np.asarray(cb0)
+    assert ((cb0 >= 0) & (cb0 < suppress_start)).all()
+
+
+def test_mixed_decode_loop_routes_fused(mixedsetup):
+    """quant="q4" (mixed) talker params route through the fused kernel in the
+    decode loop and produce finite codes."""
+    from qwen3tts_tpu.config import tiny_pipeline_config
+    from qwen3tts_tpu.models import code_predictor as CP
+    from qwen3tts_tpu.ops.quant import quantize_block_params
+    from qwen3tts_tpu.runtime import decode_loop as DL
+
+    CFG = tiny_pipeline_config()
+    cfg, params, mblocks, deqm_blocks, kv, x = mixedsetup
+    tpm = params._replace(blocks=mblocks)
+    cp = CP.init_code_predictor_params(
+        jax.random.PRNGKey(12), CFG.code_predictor, jnp.float32)
+    cpq = cp._replace(blocks=quantize_block_params(cp.blocks))
+    tokens = np.zeros((16,), np.int32)
+    tokens[:11] = np.arange(2, 13)
+    out = DL.generate_from_tokens(
+        tpm, cpq, jnp.asarray(tokens), jnp.int32(11),
+        jnp.zeros((cfg.hidden_size,), jnp.float32), jnp.int32(2050),
+        jax.random.PRNGKey(0), talker_cfg=cfg, cp_cfg=CFG.code_predictor,
+        max_frames=4, kv_capacity=24, temperature=0.0, top_k=0,
+        repetition_penalty=1.05, fused_talker=True, fused_cp=False)
+    assert int(out.n_frames) > 0
+    assert np.isfinite(np.asarray(out.hidden)).all()

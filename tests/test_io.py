@@ -327,3 +327,53 @@ def test_q4k_native_matches_python(tmp_path):
     py = GGUFReader(path).tensor("a").astype(np.float32)
     nat = NativeGGUF(path).tensor("a")
     np.testing.assert_array_equal(py, nat)
+
+
+def test_is_ffn_projection_predicate():
+    assert tensor_names.is_ffn_projection("talker.blk.3.ffn_gate.weight")
+    assert tensor_names.is_ffn_projection("code_pred.blk.0.ffn_down.weight")
+    assert not tensor_names.is_ffn_projection("talker.blk.3.attn_q.weight")
+    assert not tensor_names.is_ffn_projection("talker.blk.3.ffn_norm.weight")
+
+
+def test_q4k_mixed_converter_policy(hf_dirs, tmp_path):
+    """--type q4_k_mixed: FFN projections Q4_K (when 256-aligned), attention
+    projections Q8_0, everything else F16/F32 — the storage analog of the
+    runtime quant="q4" mixed tier."""
+    import dataclasses
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import convert_hf_to_gguf as conv
+    from qwen3tts_tpu.io.gguf import GGML_Q4_K
+
+    # intermediate_size=256 so ffn_down's input dim hits Q4_K's 256-wide
+    # super-block alignment at otherwise-tiny dims
+    cfg = tiny_pipeline_config()
+    cfg = dataclasses.replace(
+        cfg, talker=dataclasses.replace(cfg.talker, intermediate_size=256))
+    tts_dir = os.path.join(tmp_path, "ckpt")
+    os.makedirs(tts_dir)
+    write_safetensors(os.path.join(tts_dir, "model.safetensors"),
+                      hf_fixture.make_tts_checkpoint(cfg))
+
+    out = os.path.join(tmp_path, "mixed.gguf")
+    conv.convert(tts_dir, out, "q4_k_mixed", "tts")
+    r = GGUFReader(out)
+    types = {name: r._raw(name)[2] for name in r.keys()}
+    assert types["talker.blk.0.ffn_down.weight"] == GGML_Q4_K
+    assert types["talker.blk.0.attn_q.weight"] == GGML_Q8_0
+    assert types["talker.blk.0.attn_output.weight"] == GGML_Q8_0
+    # non-256-aligned ffn legs fall back to Q8_0 (32-aligned) not F16
+    assert types["talker.blk.0.ffn_gate.weight"] == GGML_Q8_0
+    # norms/embeddings stay full/half precision
+    assert types["talker.blk.0.attn_norm.weight"] in (GGML_F16, GGML_F32)
+
+    # and the file loads back close to the original weights
+    st = loader_mod.open_checkpoint_dir(tts_dir)
+    want = loader_mod.load_talker(st, cfg.talker, jnp.float32)
+    got = loader_mod.load_talker(GGUFCheckpoint(out), cfg.talker, jnp.float32)
+    w, g = np.asarray(want.blocks.w_down), np.asarray(got.blocks.w_down)
+    scale = np.abs(w).max()
+    assert np.abs(g - w).max() < 0.12 * scale  # 4-bit error bound
+    wq, gq = np.asarray(want.blocks.wqkv), np.asarray(got.blocks.wqkv)
+    assert np.abs(gq - wq).max() < 0.02 * np.abs(wq).max() + 1e-3  # int8 bound

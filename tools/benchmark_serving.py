@@ -57,11 +57,10 @@ def main() -> int:
 
     tp, cp, vp = jax.block_until_ready(init_all())
     quant = os.environ.get("QWEN3TTS_BENCH_QUANT", "int8")
-    if quant in ("int8", "q4"):
+    if quant in ("int8", "q4", "q4pure"):
         from qwen3tts_tpu.ops.quant import (quantize_block_params,
-                                            quantize_block_params_w4)
-        qt = quantize_block_params_w4 if quant == "q4" else quantize_block_params
-        tp = tp._replace(blocks=qt(tp.blocks))
+                                            quantize_talker_blocks)
+        tp = tp._replace(blocks=quantize_talker_blocks(tp.blocks, quant))
         cp = cp._replace(blocks=quantize_block_params(cp.blocks))
         jax.block_until_ready((tp.blocks.wqkv.q, cp.blocks.wqkv.q))
 
@@ -76,7 +75,7 @@ def main() -> int:
     # offset its DMA halving, see pipeline.resolve_kv_quant);
     # QWEN3TTS_KV_INT8=1 A/Bs the int8 memory tier
     kv_quant = "none"
-    if (os.environ.get("QWEN3TTS_BENCH_QUANT", "int8") in ("int8", "q4")
+    if (os.environ.get("QWEN3TTS_BENCH_QUANT", "int8") in ("int8", "q4", "q4pure")
             and os.environ.get("QWEN3TTS_KV_INT8") in ("1", "true", "on")):
         kv_quant = "int8"
     print(f"kv_quant: {kv_quant}", file=sys.stderr)

@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Full-size quantization-quality check: prefill-logits cosine of each quant
-tier (int8 w8a16, q4 group-affine) against the bf16 baseline on synthetic
-weights at the real 0.6B shapes.
+tier (int8 w8a16; q4 = MIXED attn-int8/ffn-group-affine-u4; q4pure =
+all-group-affine-u4) against the bf16 baseline on synthetic weights at the
+real 0.6B shapes.
 
 The reference's own accuracy bar is prefill-logits cosine (README.md:259,
 0.99999994 for F16). Gates: int8 near-lossless (>0.99); q4 must match the
@@ -34,7 +35,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from qwen3tts_tpu.config import PipelineConfig
 from qwen3tts_tpu.models import talker as talker_model
-from qwen3tts_tpu.ops.quant import quantize_block_params, quantize_block_params_w4
+from qwen3tts_tpu.ops.quant import (
+    quantize_block_params, quantize_block_params_mixed, quantize_block_params_w4)
 
 
 def main() -> int:
@@ -65,7 +67,8 @@ def main() -> int:
 
     results = {}
     for name, qfn in (("int8", quantize_block_params),
-                      ("q4", quantize_block_params_w4)):
+                      ("q4", quantize_block_params_mixed),
+                      ("q4pure", quantize_block_params_w4)):
         qp = params._replace(blocks=qfn(params.blocks))
         t0 = time.time()
         got = np.asarray(prefill_logits(qp, *args), np.float64)
@@ -75,8 +78,12 @@ def main() -> int:
               f"({time.time() - t0:.0f}s)  argmax match: {base.argmax() == got.argmax()}")
 
     assert results["int8"] > 0.99, results
-    # Q4_K-parity bar: the reference format itself measures 0.9238 here
-    assert results["q4"] > 0.90, f"q4 tier below Q4_K-parity bar: {results}"
+    # the MIXED tier (attn int8 / ffn u4) must BEAT the reference's own Q4_K
+    # storage quality (0.9238 measured here on identical weights), not tie it
+    assert results["q4"] > 0.97, f"mixed q4 tier below its 0.97 bar: {results}"
+    # Q4_K-parity bar for the all-4-bit tier: the reference format itself
+    # measures 0.9238 here
+    assert results["q4pure"] > 0.90, f"q4pure below Q4_K-parity bar: {results}"
     print("OK")
     return 0
 

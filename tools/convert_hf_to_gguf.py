@@ -122,6 +122,17 @@ def convert(input_dir: str, output: str, out_type: str, kind: str) -> None:
             # same selective policy as the reference converter: block
             # projections quantize, embeddings/norms/heads/biases stay F16
             ttype = GGML_Q4_K
+        elif out_type == "q4_k_mixed" and tensor_names.should_quantize_q8(ggml):
+            # storage analog of the runtime MIXED tier (ops/quant.
+            # quantize_block_params_mixed): FFN projections Q4_K, attention
+            # projections (and other quantizables) Q8_0 — measurably better
+            # quality than all-Q4_K for ~30% more projection bytes
+            if tensor_names.is_ffn_projection(ggml) and data.shape[-1] % 256 == 0:
+                ttype = GGML_Q4_K
+            elif data.shape[-1] % 32 == 0:
+                ttype = GGML_Q8_0
+            else:
+                ttype = GGML_F16
         else:
             ttype = GGML_F16
         w.add_tensor(ggml, data, ttype=ttype)
@@ -135,7 +146,9 @@ def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", "-i", required=True)
     ap.add_argument("--output", "-o", required=True)
-    ap.add_argument("--type", "-t", choices=["f16", "f32", "q8_0", "q4_k"], default="f16")
+    ap.add_argument("--type", "-t",
+                    choices=["f16", "f32", "q8_0", "q4_k", "q4_k_mixed"],
+                    default="f16")
     ap.add_argument("--kind", choices=["tts", "tokenizer"], default="tts")
     args = ap.parse_args()
     convert(args.input, args.output, args.type, args.kind)
