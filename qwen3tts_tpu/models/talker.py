@@ -179,9 +179,36 @@ def talker_prefill(params: TalkerParams, cfg: TalkerConfig, prefill_embd: jnp.nd
     return normed_last, logits, kv
 
 
-def talker_step(params: TalkerParams, cfg: TalkerConfig, step_embd: jnp.ndarray, n_past: jnp.ndarray, kv: jnp.ndarray, strategy: str = "auto"):
-    """One AR frame step; returns (hidden_norm [H], logits [Vc], kv)."""
-    hidden, kv = forward_step(params.blocks, core_config(cfg), step_embd, n_past, kv, strategy)
+def talker_prefill_window(params: TalkerParams, cfg: TalkerConfig,
+                          prefill_embd: jnp.ndarray, pos0: jnp.ndarray,
+                          kv_dtype=jnp.bfloat16):
+    """Prefill at absolute positions [pos0, pos0+P) into a standalone window
+    cache (no full-capacity cache involved). Returns
+    (last_hidden [H], last_logits [Vc], kv_window [L, 2, Hkv, P, D]).
+
+    This is the continuous-batching refill primitive
+    (runtime/continuous.py): the caller splices kv_window into a serving
+    lane's cache at columns [pos0, pos0+P). Because RoPE is relative
+    (rotary shift invariance) and the window attends only to itself, the
+    spliced request generates exactly what a fresh run at positions [0, P)
+    would."""
+    P = prefill_embd.shape[0]
+    positions = pos0 + jnp.arange(P, dtype=jnp.int32)
+    kv_win = jnp.zeros(
+        (cfg.n_layers, 2, cfg.n_kv_heads, P, cfg.head_dim), kv_dtype)
+    hidden, kv_win = forward_prefill(
+        params.blocks, core_config(cfg), prefill_embd, positions, None,
+        kv_win, 0)
+    normed_last = rms_norm(hidden[-1], params.output_norm, cfg.rms_norm_eps)
+    logits = (normed_last @ params.codec_head).astype(jnp.float32)
+    return normed_last, logits, kv_win
+
+
+def talker_step(params: TalkerParams, cfg: TalkerConfig, step_embd: jnp.ndarray, n_past: jnp.ndarray, kv: jnp.ndarray, strategy: str = "auto", start: jnp.ndarray | None = None):
+    """One AR frame step; returns (hidden_norm [H], logits [Vc], kv).
+    `start` masks cache entries below a continuous-batching splice point
+    (transformer_core.forward_step)."""
+    hidden, kv = forward_step(params.blocks, core_config(cfg), step_embd, n_past, kv, strategy, start)
     normed = rms_norm(hidden, params.output_norm, cfg.rms_norm_eps)
     logits = (normed @ params.codec_head).astype(jnp.float32)
     return normed, logits, kv

@@ -186,6 +186,7 @@ def forward_step(
     n_past: jnp.ndarray,     # scalar int: cache fill level == position
     kv: jnp.ndarray,         # [L, 2, Hkv, C, D] head-major
     strategy: str = "auto",
+    start: jnp.ndarray | None = None,
 ):
     """Single-token decode step; K/V written at position n_past; attention over
     cache[0:n_past+1]. Returns (hidden [H] pre-output-norm, kv).
@@ -194,16 +195,22 @@ def forward_step(
     (in-place updates + layer-indexed attention) above; "carried"/"sliced"
     force it. Under vmap the sliced scheme's per-layer cache copies multiply
     by the batch (measured 893 -> 2555 aggregate frames/s at B=16, C=512
-    just from forcing carried), so batched callers pass "carried"."""
+    just from forcing carried), so batched callers pass "carried".
+
+    `start` (scalar, optional): additionally mask cache positions < start —
+    continuous-batching lanes splice a new request's prefill mid-cache and
+    everything below the splice point belongs to the previous occupant
+    (runtime/continuous.py). RoPE uses absolute cache positions, so a spliced
+    request reproduces a fresh run exactly (rotary shift invariance)."""
     pos = jnp.asarray(n_past, jnp.int32)[None]
     cos, sin = rope_for_positions(pos, cfg.head_dim, cfg.rope_theta)
     if strategy == "carried" or (strategy == "auto"
                                  and kv.shape[3] >= CARRY_THRESHOLD):
-        return _forward_step_carried(blocks, cfg, x, cos, sin, n_past, kv)
-    return _forward_step_sliced(blocks, cfg, x, cos, sin, n_past, kv)
+        return _forward_step_carried(blocks, cfg, x, cos, sin, n_past, kv, start)
+    return _forward_step_sliced(blocks, cfg, x, cos, sin, n_past, kv, start)
 
 
-def _forward_step_sliced(blocks, cfg, x, cos, sin, n_past, kv):
+def _forward_step_sliced(blocks, cfg, x, cos, sin, n_past, kv, start=None):
     def scan_fn(carry, layer_in):
         x = carry
         params_l, kv_l = layer_in
@@ -213,7 +220,8 @@ def _forward_step_sliced(blocks, cfg, x, cos, sin, n_past, kv):
                 kv_l[0], k.transpose(1, 0, 2).astype(kv_l.dtype), (0, n_past, 0))
             v_cache = lax.dynamic_update_slice(
                 kv_l[1], v.transpose(1, 0, 2).astype(kv_l.dtype), (0, n_past, 0))
-            o = attn_ops.decode_attention_auto(q[0], k_cache, v_cache, n_past + 1)
+            o = attn_ops.decode_attention_auto(
+                q[0], k_cache, v_cache, n_past + 1, start)
             return o[None], jnp.stack([k_cache, v_cache])
 
         x2, kv_l_new = _layer(params_l, cfg, x[None], cos, sin, attend)
@@ -223,7 +231,7 @@ def _forward_step_sliced(blocks, cfg, x, cos, sin, n_past, kv):
     return x, kv_new
 
 
-def _forward_step_carried(blocks, cfg, x, cos, sin, n_past, kv):
+def _forward_step_carried(blocks, cfg, x, cos, sin, n_past, kv, start=None):
     L = kv.shape[0]
 
     def scan_fn(carry, layer_in):
@@ -234,7 +242,8 @@ def _forward_step_carried(blocks, cfg, x, cos, sin, n_past, kv):
             upd = jnp.stack([k.transpose(1, 0, 2), v.transpose(1, 0, 2)])
             kv_new = lax.dynamic_update_slice(
                 kv, upd[None].astype(kv.dtype), (li, 0, 0, n_past, 0))
-            o = attn_ops.decode_attention_layered(q[0], kv_new, li, n_past + 1)
+            o = attn_ops.decode_attention_layered(
+                q[0], kv_new, li, n_past + 1, start)
             return o[None], kv_new
 
         x2, kv = _layer(params_l, cfg, x[None], cos, sin, attend)

@@ -55,21 +55,27 @@ def decode_attention_layered(
     kv: jnp.ndarray,       # [L, 2, Hkv, C, D] full head-major cache
     layer: jnp.ndarray,    # scalar int32 layer index
     n_valid: jnp.ndarray,
+    start: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Decode attention reading the FULL layer-stacked cache at a dynamic
     layer index. The Pallas kernel indexes the layer in its block index map
     (zero-copy); the XLA path reads kv[layer] as a dynamic-slice that fuses
-    into the einsum."""
+    into the einsum.
+
+    `start` (scalar): mask out cache positions < start — a lane refilled
+    mid-session by the continuous-batching scheduler has stale entries from
+    the previous occupant below its splice point (runtime/continuous.py)."""
     from .pallas_attention import decode_attention_pallas_layered, use_pallas_decode
 
     L, _, Hkv, C, D = kv.shape
     block = 256 if C % 256 == 0 else 128
     MIN_PALLAS_CAPACITY = 1024
-    if (use_pallas_decode() and C % block == 0 and C >= MIN_PALLAS_CAPACITY
+    if (start is None and use_pallas_decode() and C % block == 0
+            and C >= MIN_PALLAS_CAPACITY
             and D % 128 == 0 and q.shape[0] % Hkv == 0
             and not _is_f8(kv.dtype)):
         return decode_attention_pallas_layered(q, kv, layer, n_valid, block=block)
-    return decode_attention(q, kv[layer, 0], kv[layer, 1], n_valid)
+    return decode_attention(q, kv[layer, 0], kv[layer, 1], n_valid, start)
 
 
 def decode_attention_auto(
@@ -77,6 +83,7 @@ def decode_attention_auto(
     k_cache: jnp.ndarray,
     v_cache: jnp.ndarray,
     n_valid: jnp.ndarray,
+    start: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Dispatch decode attention over a head-major [Hkv, C, D] cache: the
     Pallas fused kernel on TPU when shapes qualify (capacity and head_dim
@@ -91,11 +98,12 @@ def decode_attention_auto(
 
     Hkv, C, D = k_cache.shape
     block = 256 if C % 256 == 0 else 128
-    if (use_pallas_decode() and C % block == 0 and C >= MIN_PALLAS_CAPACITY
+    if (start is None and use_pallas_decode() and C % block == 0
+            and C >= MIN_PALLAS_CAPACITY
             and D % 128 == 0 and q.shape[0] % Hkv == 0
             and not _is_f8(k_cache.dtype)):
         return decode_attention_pallas(q, k_cache, v_cache, n_valid, block=block)
-    return decode_attention(q, k_cache, v_cache, n_valid)
+    return decode_attention(q, k_cache, v_cache, n_valid, start)
 
 
 def _is_f8(dtype) -> bool:
@@ -107,6 +115,7 @@ def decode_attention(
     k_cache: jnp.ndarray,  # [Hkv, C, D] head-major
     v_cache: jnp.ndarray,  # [Hkv, C, D]
     n_valid: jnp.ndarray,  # scalar int: number of valid cache entries
+    start: jnp.ndarray | None = None,  # scalar: entries < start are stale
 ) -> jnp.ndarray:
     """Single-token attention over a preallocated KV cache. Returns [Hq, D].
 
@@ -125,6 +134,8 @@ def decode_attention(
     scores = jnp.einsum("hgd,hcd->hgc", qg, k_cache, preferred_element_type=jnp.float32)
     scores = scores * scale
     mask = jnp.arange(C) < n_valid
+    if start is not None:
+        mask = mask & (jnp.arange(C) >= start)
     scores = jnp.where(mask[None, None, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("hgc,hcd->hgd", probs.astype(v_cache.dtype), v_cache)

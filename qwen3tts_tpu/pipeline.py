@@ -607,6 +607,106 @@ class Qwen3TTS:
             r.timings.t_total_ms = now_ms() - t_total0
         return results
 
+    def synthesize_queue(self, texts, params: SamplingConfig = SamplingConfig(),
+                         speakers=None, *, lanes: Optional[int] = None,
+                         kv_capacity: Optional[int] = None,
+                         chunk_frames: int = 32, refill_slots: int = 8):
+        """Continuous-batching synthesis of a request queue: finished lanes
+        are refilled mid-flight (runtime/continuous.py), so a mix of
+        unequal-length utterances keeps every lane busy instead of idling
+        until the batch's longest request drains (synthesize_batch's static
+        loop). Returns TTSResults in submission order.
+
+        Defaults: lanes=min(64, len(texts)); kv_capacity sized for ~2
+        request generations per session (more capacity = fewer session
+        resets). Per-request PRNG keys derive from params.seed + index, so
+        results are reproducible but differ from synthesize_batch's
+        key-split scheme."""
+        rt = self.config.runtime
+        tcfg, ccfg = self.config.talker, self.config.code_predictor
+        vcfg = self.config.vocoder
+        spf = vcfg.samples_per_frame
+        B = len(texts)
+        if speakers is None:
+            speakers = np.zeros((B, tcfg.hidden_size), np.float32)
+        results = [TTSResult() for _ in texts]
+        if not self._loaded:
+            for r in results:
+                r.error_msg = "Models not loaded"
+            return results
+        from .runtime.continuous import ContinuousScheduler, prefill_window_len
+
+        t_total0 = now_ms()
+        fitted = [self._fit_tokens(self.tokenizer.encode_for_tts(t))
+                  for t in texts]
+        Tb = max(p.shape[0] for p, _ in fitted)
+        max_frames = pick_bucket(params.max_audio_tokens, rt.frame_buckets)
+        if lanes is None:
+            lanes = max(1, min(64, B))
+        if kv_capacity is None:
+            P = prefill_window_len(params.language_id < 0)
+            kv_capacity = -(-(P + 2 * max_frames + chunk_frames
+                              + rt.kv_margin) // 256) * 256
+
+        sched = ContinuousScheduler(
+            self.talker_params, self.cp_params, tcfg, ccfg, lanes=lanes,
+            kv_capacity=kv_capacity, text_bucket=Tb,
+            chunk_frames=chunk_frames, refill_slots=refill_slots,
+            max_frames=max_frames, temperature=params.temperature,
+            top_k=params.top_k, top_p=params.top_p,
+            repetition_penalty=params.repetition_penalty,
+            nothink=params.language_id < 0)
+        t0 = now_ms()
+        rids = []
+        for i, (p_i, n_i) in enumerate(fitted):
+            rids.append(sched.submit(
+                p_i, n_i, np.asarray(speakers[i], np.float32),
+                params.language_id, seed=params.seed + i,
+                max_frames=min(params.max_audio_tokens, max_frames)))
+        out = sched.run()
+        t_gen = now_ms() - t0
+
+        all_codes = [out[rid] for rid in rids]
+        n_clamped = np.array(
+            [min(c.shape[0], params.max_audio_tokens) for c in all_codes],
+            np.int64)
+
+        if self.vocoder_params is None:
+            self._load_vocoder()
+        t0 = now_ms()
+        nmax = int(n_clamped.max()) if B else 0
+        batched_audio = None
+        if nmax > 0 and not (rt.vocoder_chunk_frames
+                             and nmax > rt.vocoder_chunk_frames):
+            Fb = pick_bucket(nmax, rt.vocoder_buckets)
+            bufs = np.zeros((B, Fb, vcfg.n_codebooks), np.int32)
+            for i in range(B):
+                bufs[i, : n_clamped[i]] = all_codes[i][: n_clamped[i]]
+            batched_audio = vocode_batched(
+                self.vocoder_params, vcfg, jnp.asarray(bufs),
+                jnp.asarray(np.maximum(n_clamped, 1), np.int32))
+        t_dec = now_ms() - t0
+
+        for i, r in enumerate(results):
+            n = int(n_clamped[i])
+            r.codes = all_codes[i][:n]
+            r.n_frames = n
+            r.timings.t_generate_ms = t_gen / max(B, 1)
+            if n == 0:
+                r.error_msg = "No speech codes generated"
+                continue
+            if batched_audio is not None:
+                r.audio = batched_audio[i, : n * spf]
+                r.timings.t_decode_ms = t_dec / max(B, 1)
+            else:
+                t0 = now_ms()
+                r.audio = self.decode_codes(r.codes)
+                r.timings.t_decode_ms = now_ms() - t0
+            r.sample_rate = vcfg.sample_rate
+            r.success = True
+            r.timings.t_total_ms = now_ms() - t_total0
+        return results
+
     def synthesize_streaming(self, text: str, params: SamplingConfig = SamplingConfig(),
                              *, chunk_frames: int = 16, history: int = 32,
                              speaker: Optional[np.ndarray] = None):

@@ -1,0 +1,552 @@
+"""Continuous batching: refill finished serving lanes mid-flight.
+
+The static batched loop (decode_loop._generate_batched_fused) admits B
+requests together and runs until EVERY lane hits EOS — short utterances
+idle (masked) while the longest one drains, so aggregate occupancy is the
+mean/max length ratio of the mix. The reference has no analog (its serving
+story is one utterance at a time, src/main.cpp); production TTS serving is
+a stream of unequal-length requests, which is exactly where lockstep
+batching loses.
+
+This module keeps the lockstep *step* (all lanes advance together — the
+whole point of the batched kernels is one weight stream for all lanes) but
+makes lane OCCUPANCY dynamic:
+
+- One global write column ``n_past`` advances every step, shared by all
+  lanes (the batched talker kernel's RoPE/write plumbing is unchanged).
+- When a lane finishes, a new request's fixed-length prefill window
+  (models/talker.build_prefill: always 10 rows, 9 nothink — text arrives
+  via the per-frame trailing schedule) is spliced into that lane's cache at
+  columns [n_past - P, n_past), overwriting the previous occupant's stale
+  tail. Writes stay lockstep; the splice never collides with live columns.
+- Each lane carries ``start`` — its first valid cache column. Attention
+  masks columns < start (stale entries from the previous occupant). RoPE
+  uses absolute cache positions, and rotary attention is shift-invariant,
+  so a spliced request generates EXACTLY what a fresh run at positions
+  [0, P) would (tests/test_continuous.py asserts greedy-code equality).
+- The host drives fixed-size frame chunks (``decode_chunk``, K frames in
+  ONE dispatch — the ~27 ms tunnel dispatch cost amortizes over K*B
+  frames) and refills idle lanes between chunks (``refill``, R fixed
+  slots). Two compiled programs total, per (B, C, K/R, quant) config.
+
+Capacity: a request admitted at column p may write up to max_frames
+columns, so admission requires p + max_frames + K <= C. When the queue
+outlives the cache, the scheduler drains the session and resets (same
+compiled programs — n_past rewinds to P). A v2 could compact live windows
+downward instead; at C=1024, max_frames<=256 the drain overhead is already
+small versus the static loop's per-batch drain.
+
+Not yet wired here: int8-KV and the lane-major layout (both assert off —
+the refill splice writes bf16 rows).
+"""
+
+from __future__ import annotations
+
+import functools
+import os as _os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..config import CodePredictorConfig, TalkerConfig
+from ..models import code_predictor as cp_model
+from ..models import talker as talker_model
+from ..ops.kernel_prng import sampling_flags
+from ..ops.sampling import apply_repetition_penalty, apply_suppression, sample_token
+from .decode_loop import (
+    _CP_KERNEL_MAX_LANES,
+    _init_cb0,
+    _resolve_fused_cp,
+    _resolve_fused_talker,
+    _resolve_kernel_cb0,
+    _rest_embd_sum,
+)
+
+
+def prefill_window_len(nothink: bool) -> int:
+    """build_prefill's fixed window: 3 role rows + (3 nothink | 4) codec
+    rows + speaker + pad/bos + first-text row."""
+    return 9 if nothink else 10
+
+
+class ContinuousState(NamedTuple):
+    n_past: jnp.ndarray       # scalar int32: global write column (lockstep)
+    start: jnp.ndarray        # [B] int32: per-lane first valid cache column
+    logits: jnp.ndarray       # [B, Vc] carried cb0 logits ([B,0] if kernel_cb0)
+    cb0_next: jnp.ndarray     # [B] next cb0 ([B,0] unless kernel_cb0)
+    last_hidden: jnp.ndarray  # [B, H]
+    kv: jnp.ndarray           # [B, L, 2, Hkv, C, D] batch-major
+    seen: jnp.ndarray         # [B, Vc] bool repetition-penalty set
+    frame: jnp.ndarray        # [B] int32: frames emitted by current occupant
+    budget: jnp.ndarray       # [B] int32: occupant's max_audio_tokens
+    trailing: jnp.ndarray     # [B, Trb, H] per-occupant trailing schedule
+    keys: jax.Array           # [B] per-lane PRNG keys
+    done: jnp.ndarray         # [B] bool: lane idle (finished / never filled)
+
+
+def init_state(
+    talker_params, talker_cfg: TalkerConfig, *, lanes: int, kv_capacity: int,
+    trailing_len: int, nothink: bool = False, kernel_cb0: bool = False,
+) -> ContinuousState:
+    """All lanes idle; n_past starts at the prefill window length so the
+    first refill can splice at [0, P) like every later one."""
+    B = lanes
+    H = talker_cfg.hidden_size
+    Vc = talker_cfg.codec_vocab_size
+    dtype = talker_params.codec_embd.dtype
+    kv = jnp.zeros(
+        (B, talker_cfg.n_layers, 2, talker_cfg.n_kv_heads, kv_capacity,
+         talker_cfg.head_dim), dtype)
+    P = prefill_window_len(nothink)
+    return ContinuousState(
+        n_past=jnp.int32(P),
+        start=jnp.zeros((B,), jnp.int32),
+        logits=jnp.zeros((B, 0 if kernel_cb0 else Vc), jnp.float32),
+        cb0_next=(jnp.zeros((B,), jnp.int32) if kernel_cb0
+                  else jnp.zeros((B, 0), jnp.int32)),
+        last_hidden=jnp.zeros((B, H), dtype),
+        kv=kv,
+        seen=jnp.zeros((B, Vc), jnp.bool_),
+        frame=jnp.zeros((B,), jnp.int32),
+        budget=jnp.zeros((B,), jnp.int32),
+        trailing=jnp.zeros((B, trailing_len, H), dtype),
+        keys=jnp.zeros((B, 2), jnp.uint32),
+        done=jnp.ones((B,), jnp.bool_),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "talker_cfg", "nothink", "top_k", "allow_eos", "kernel_cb0",
+    "greedy", "use_top_p"))
+def refill(
+    talker_params,
+    state: ContinuousState,
+    lane_idx: jnp.ndarray,     # [R] int32 target lanes (ignored where ~mask)
+    mask: jnp.ndarray,         # [R] bool: slot r actually refills
+    tokens: jnp.ndarray,       # [R, Tb]
+    n_tokens: jnp.ndarray,     # [R]
+    speaker_embd: jnp.ndarray,  # [R, H]
+    language_id: jnp.ndarray,  # [R]
+    keys: jax.Array,           # [R] fresh per-request PRNG keys
+    budgets: jnp.ndarray,      # [R] int32 per-request max_audio_tokens
+    *,
+    talker_cfg: TalkerConfig,
+    nothink: bool = False,
+    temperature=1.0, top_k: int = 0, top_p=1.0, repetition_penalty=1.05,
+    allow_eos: bool = True,
+    kernel_cb0: bool = False,
+    greedy: bool = False,
+    use_top_p: bool = True,
+) -> ContinuousState:
+    """Splice up to R new requests into idle lanes at the current n_past.
+
+    Computes each slot's fixed prefill window at absolute positions
+    [n_past - P, n_past) (talker_model.talker_prefill_window), scatters the
+    window K/V into the lane's cache, and resets the lane's sampling state.
+    Masked slots are no-ops. R is static — one compiled program per R."""
+    B = state.kv.shape[0]
+    p = state.n_past
+    P = prefill_window_len(nothink)
+    pos0 = p - P
+    dtype = talker_params.codec_embd.dtype
+
+    pre = jax.vmap(
+        lambda t, n, sp, lg: talker_model.build_prefill(
+            talker_params, talker_cfg, t, n, sp, lg, nothink=nothink)
+    )(tokens, n_tokens, speaker_embd, language_id)
+    last_hidden, logits, kv_win = jax.vmap(
+        lambda pe: talker_model.talker_prefill_window(
+            talker_params, talker_cfg, pe, pos0, kv_dtype=state.kv.dtype)
+    )(pre.prefill_embd)                     # [R,H], [R,Vc], [R,L,2,Hkv,P,D]
+
+    logits_c, cb0_init, keys_next = _init_cb0(
+        logits, keys, talker_cfg, kernel_cb0=kernel_cb0,
+        temperature=temperature, top_k=top_k, top_p=top_p,
+        repetition_penalty=repetition_penalty, allow_eos=allow_eos,
+        greedy=greedy, use_top_p=use_top_p)
+
+    R = lane_idx.shape[0]
+    L, _, Hkv, C, D = state.kv.shape[1:]
+    Vc = talker_cfg.codec_vocab_size
+
+    kv = state.kv
+    start = state.start
+    st_logits = state.logits
+    cb0_next = state.cb0_next
+    lh = state.last_hidden
+    seen = state.seen
+    frame = state.frame
+    budget = state.budget
+    trailing = state.trailing
+    st_keys = state.keys
+    done = state.done
+
+    for r in range(R):
+        lane = lane_idx[r]
+        m = mask[r]
+
+        old = lax.dynamic_slice(
+            kv, (lane, 0, 0, 0, pos0, 0), (1, L, 2, Hkv, P, D))
+        new = jnp.where(m, kv_win[r][None].astype(kv.dtype), old)
+        kv = lax.dynamic_update_slice(kv, new, (lane, 0, 0, 0, pos0, 0))
+
+        def put(arr, val):
+            return arr.at[lane].set(jnp.where(m, val, arr[lane]))
+
+        start = put(start, pos0)
+        lh = put(lh, last_hidden[r].astype(dtype))
+        seen = put(seen, jnp.zeros((Vc,), jnp.bool_))
+        frame = put(frame, jnp.int32(0))
+        budget = put(budget, budgets[r])
+        trailing = put(trailing, pre.trailing[r].astype(trailing.dtype))
+        st_keys = put(st_keys, keys_next[r])
+        done = put(done, jnp.bool_(False))
+        if kernel_cb0:
+            cb0_next = put(cb0_next, cb0_init[r])
+        else:
+            st_logits = put(st_logits, logits_c[r])
+
+    return state._replace(
+        start=start, logits=st_logits, cb0_next=cb0_next, last_hidden=lh,
+        kv=kv, seen=seen, frame=frame, budget=budget, trailing=trailing,
+        keys=st_keys, done=done)
+
+
+class ChunkResult(NamedTuple):
+    state: ContinuousState
+    codes: jnp.ndarray    # [B, K, 16] int32 (emitted frames; rest garbage)
+    emit: jnp.ndarray     # [B, K] bool: row (b, k) is a real emission
+    eos: jnp.ndarray      # [B, K] bool: lane b hit EOS at chunk step k
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "talker_cfg", "cp_cfg", "chunk_frames", "top_k",
+    "fused_cp", "fused_talker", "allow_eos", "greedy", "use_top_p"))
+def decode_chunk(
+    talker_params,
+    cp_params,
+    state: ContinuousState,
+    *,
+    talker_cfg: TalkerConfig,
+    cp_cfg: CodePredictorConfig,
+    chunk_frames: int,
+    temperature=1.0, top_k: int = 0, top_p=1.0, repetition_penalty=1.05,
+    fused_cp="auto",
+    fused_talker="auto",
+    allow_eos: bool = True,
+    greedy: bool = False,
+    use_top_p: bool = True,
+) -> ChunkResult:
+    """Advance every lane K=chunk_frames steps in ONE dispatch.
+
+    Per-iteration semantics match decode_loop._generate_batched_fused
+    exactly (same key-split order, suppression/penalty/sampler, one-hot cb0
+    embedding, lockstep emission) with three continuous-batching deltas:
+    per-lane `start` reaches the talker (kernel column mask / XLA attention
+    mask), the trailing schedule comes from carried per-lane state, and a
+    lane is additionally done when its occupant reaches its per-request
+    frame budget. Idle (done) lanes keep stepping with masked emissions, as
+    in the static loop."""
+    B, _, _, _, C, _ = state.kv.shape
+    H = talker_cfg.hidden_size
+    Vc = talker_cfg.codec_vocab_size
+    K = chunk_frames
+    suppress_start = Vc - talker_cfg.n_suppressed_tail
+    eos_for_mask = talker_cfg.codec_eos_id if allow_eos else -1
+    dtype = talker_params.codec_embd.dtype
+    Trb = state.trailing.shape[1]
+
+    use_fused_cp = _resolve_fused_cp(fused_cp, cp_params)
+    use_fused_talker = _resolve_fused_talker(fused_talker, talker_params)
+    kernel_cb0 = _resolve_kernel_cb0(use_fused_talker)
+    assert (state.cb0_next.ndim == 1) == kernel_cb0, (
+        "state was initialized for kernel_cb0="
+        f"{state.cb0_next.ndim == 1} but this config resolves {kernel_cb0}")
+    if use_fused_cp:
+        from ..ops.pallas_code_predictor_batched import fused_predict_codes_batched
+    if use_fused_talker:
+        from ..ops.pallas_talker_step import fused_talker_step_batched
+
+    codes_buf = jnp.zeros((B, K, talker_cfg.n_codebooks), jnp.int32)
+    emit_buf = jnp.zeros((B, K), jnp.bool_)
+    eos_buf = jnp.zeros((B, K), jnp.bool_)
+
+    def body(k, carry):
+        s, codes_buf, emit_buf, eos_buf = carry
+        ks = jax.vmap(lambda kk: jax.random.split(kk, 3))(s.keys)
+        keys_next, k_cb0, k_cp = ks[:, 0], ks[:, 1], ks[:, 2]
+        if kernel_cb0:
+            cb0 = s.cb0_next
+        else:
+            l = apply_suppression(s.logits, suppress_start, eos_for_mask)
+            l = apply_repetition_penalty(l, s.seen, repetition_penalty)
+            cb0 = jax.vmap(
+                lambda kk, row: sample_token(
+                    kk, row, temperature=temperature, top_k=top_k,
+                    top_p=top_p, greedy=greedy, use_top_p=use_top_p)
+            )(k_cb0, l)
+        is_eos = jnp.logical_and(cb0 == talker_cfg.codec_eos_id, allow_eos)
+        done = jnp.logical_or(s.done, is_eos)
+        emit = ~done
+
+        onehot_cb0 = (cb0[:, None] == jnp.arange(Vc)[None, :])
+        cb0_embd = lax.dot_general(
+            onehot_cb0.astype(dtype), talker_params.codec_embd,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dtype)   # [B, H]
+        if use_fused_cp:
+            seeds = jax.vmap(lambda kk: lax.bitcast_convert_type(
+                jax.random.bits(kk, (), "uint32"), jnp.int32))(k_cp)
+            hidden_in = s.last_hidden.astype(dtype)
+            outs = [fused_predict_codes_batched(
+                cp_params, cp_cfg, hidden_in[o:o + _CP_KERNEL_MAX_LANES],
+                cb0_embd[o:o + _CP_KERNEL_MAX_LANES],
+                seeds[o:o + _CP_KERNEL_MAX_LANES],
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                greedy=greedy, use_top_p=use_top_p)
+                for o in range(0, B, _CP_KERNEL_MAX_LANES)]
+            rest = jnp.concatenate([r for r, _ in outs], axis=0)
+            rest_sum = jnp.concatenate([rs for _, rs in outs], axis=0)
+        else:
+            rest = jax.vmap(
+                lambda h, ce, kk: cp_model.predict_codes(
+                    cp_params, cp_cfg, h, ce, kk, temperature=temperature,
+                    top_k=top_k, top_p=top_p, greedy=greedy,
+                    use_top_p=use_top_p)
+            )(s.last_hidden.astype(dtype), cb0_embd, k_cp)
+            rest_sum = _rest_embd_sum(cp_params, cp_cfg, rest)
+        frame_codes = jnp.concatenate([cb0[:, None], rest], axis=1)
+
+        codes_buf = lax.dynamic_update_slice(
+            codes_buf, frame_codes[:, None, :], (0, k, 0))
+        emit_buf = lax.dynamic_update_slice(
+            emit_buf, emit[:, None], (0, k))
+        eos_buf = lax.dynamic_update_slice(
+            eos_buf, jnp.logical_and(is_eos, ~s.done)[:, None], (0, k))
+        seen = s.seen | (onehot_cb0 & emit[:, None])
+
+        t_idx = jnp.minimum(s.frame, Trb - 1)
+        t_mask = (jnp.arange(Trb)[None, :] == t_idx[:, None])
+        trailing_row = jnp.sum(
+            jnp.where(t_mask[:, :, None], s.trailing, 0).astype(jnp.float32),
+            axis=1)
+        step_embd = (cb0_embd.astype(jnp.float32) + rest_sum
+                     + trailing_row).astype(dtype)
+
+        if kernel_cb0:
+            seeds_cb0 = jax.vmap(lambda kk: lax.bitcast_convert_type(
+                jax.random.bits(kk, (), "uint32"), jnp.int32))(k_cb0)
+            hidden_f32, cb0_next, kv = fused_talker_step_batched(
+                talker_params.blocks, talker_cfg, step_embd, s.n_past, s.kv,
+                output_norm=talker_params.output_norm,
+                codec_head=talker_params.codec_head,
+                seen=seen, seeds=seeds_cb0, start=s.start,
+                temperature=temperature, top_p=top_p,
+                repetition_penalty=repetition_penalty, top_k=top_k,
+                suppress_start=suppress_start, eos_id=eos_for_mask,
+                greedy=greedy, use_top_p=use_top_p)
+            hidden = hidden_f32.astype(dtype)
+            logits = s.logits
+        elif use_fused_talker:
+            hidden_f32, logits, kv = fused_talker_step_batched(
+                talker_params.blocks, talker_cfg, step_embd, s.n_past, s.kv,
+                output_norm=talker_params.output_norm,
+                codec_head=talker_params.codec_head, start=s.start)
+            hidden = hidden_f32.astype(dtype)
+            cb0_next = s.cb0_next
+        else:
+            hidden, logits, kv = jax.vmap(
+                lambda e, kvi, st: talker_model.talker_step(
+                    talker_params, talker_cfg, e, s.n_past, kvi,
+                    strategy="carried", start=st)
+            )(step_embd, s.kv, s.start)
+            cb0_next = s.cb0_next
+
+        frame = s.frame + emit.astype(jnp.int32)
+        done = jnp.logical_or(done, frame >= s.budget)
+        s = s._replace(
+            n_past=s.n_past + 1, logits=logits, cb0_next=cb0_next,
+            last_hidden=hidden, kv=kv, seen=seen, frame=frame,
+            keys=keys_next, done=done)
+        return s, codes_buf, emit_buf, eos_buf
+
+    s, codes_buf, emit_buf, eos_buf = lax.fori_loop(
+        0, K, body, (state, codes_buf, emit_buf, eos_buf))
+    return ChunkResult(state=s, codes=codes_buf, emit=emit_buf, eos=eos_buf)
+
+
+class _Lane(NamedTuple):
+    rid: int
+    codes: list
+
+
+class ContinuousScheduler:
+    """Host-side request scheduler over the two device programs.
+
+    Usage:
+        sched = ContinuousScheduler(tp, cp, talker_cfg, cp_cfg, lanes=64,
+                                    kv_capacity=1024, text_bucket=32,
+                                    max_frames=256)
+        rid = sched.submit(tokens, n_tokens, speaker_embd, language_id, seed)
+        results = sched.run()       # {rid: codes np[n, 16]}
+
+    run() drives refill/decode_chunk until the queue drains; completed
+    requests' codes are assembled host-side from chunk emissions (the
+    vocoder consumes only codes — pipeline.vocode_batched them afterwards).
+    """
+
+    def __init__(self, talker_params, cp_params, talker_cfg: TalkerConfig,
+                 cp_cfg: CodePredictorConfig, *, lanes: int = 64,
+                 kv_capacity: int = 1024, text_bucket: int = 32,
+                 chunk_frames: int = 32, refill_slots: int = 8,
+                 max_frames: int = 256, temperature: float = 0.9,
+                 top_k: int = 50, top_p: float = 1.0,
+                 repetition_penalty: float = 1.05, nothink: bool = False,
+                 allow_eos: bool = True, fused_cp="auto",
+                 fused_talker="auto"):
+        P = prefill_window_len(nothink)
+        assert kv_capacity >= P + max_frames + chunk_frames, \
+            "kv_capacity cannot admit even one request"
+        self.tp, self.cp = talker_params, cp_params
+        self.tcfg, self.ccfg = talker_cfg, cp_cfg
+        self.B, self.C = lanes, kv_capacity
+        self.Tb, self.K, self.R = text_bucket, chunk_frames, refill_slots
+        self.max_frames = max_frames
+        self.nothink, self.allow_eos = nothink, allow_eos
+        self.fused_cp, self.fused_talker = fused_cp, fused_talker
+        greedy, use_top_p = sampling_flags(temperature, top_p)
+        self.samp = dict(temperature=temperature, top_k=top_k, top_p=top_p,
+                         repetition_penalty=repetition_penalty,
+                         greedy=greedy, use_top_p=use_top_p)
+        use_ft = _resolve_fused_talker(fused_talker, talker_params)
+        self.kernel_cb0 = _resolve_kernel_cb0(use_ft)
+        self.state = init_state(
+            talker_params, talker_cfg, lanes=lanes, kv_capacity=kv_capacity,
+            trailing_len=text_bucket - 3, nothink=nothink,
+            kernel_cb0=self.kernel_cb0)
+        self._queue: list[tuple] = []
+        self._next_rid = 0
+        self._lane_owner: list[_Lane | None] = [None] * lanes
+        self.results: dict[int, np.ndarray] = {}
+        self.chunks_run = 0
+        self.sessions = 0
+
+    def submit(self, tokens, n_tokens: int, speaker_embd, language_id: int,
+               seed: int = 0, max_frames: int | None = None) -> int:
+        """Enqueue one request; tokens longer than the text bucket are
+        rejected (pick the bucket for your corpus). max_frames is this
+        request's frame budget (<= the scheduler's admission max)."""
+        tokens = np.asarray(tokens, np.int32)
+        assert tokens.shape[0] <= self.Tb, \
+            f"prompt ({tokens.shape[0]}) exceeds text bucket {self.Tb}"
+        budget = self.max_frames if max_frames is None else int(max_frames)
+        assert 0 < budget <= self.max_frames, \
+            f"max_frames {budget} outside (0, {self.max_frames}]"
+        padded = np.zeros((self.Tb,), np.int32)
+        padded[:tokens.shape[0]] = tokens
+        rid = self._next_rid
+        self._next_rid += 1
+        self._queue.append(
+            (rid, padded, int(n_tokens), np.asarray(speaker_embd),
+             int(language_id), int(seed), budget))
+        return rid
+
+    # -- internals ---------------------------------------------------------
+
+    def _can_admit(self) -> bool:
+        return int(self.state.n_past) + self.max_frames + self.K <= self.C
+
+    def _do_refill(self, done_np) -> bool:
+        """Admit up to R queued requests into idle (unowned) lanes."""
+        idle = [b for b in range(self.B)
+                if self._lane_owner[b] is None and bool(done_np[b])]
+        n = min(len(idle), len(self._queue), self.R)
+        if n == 0 or not self._can_admit():
+            return False
+        lane_idx = np.zeros((self.R,), np.int32)
+        mask = np.zeros((self.R,), bool)
+        tokens = np.zeros((self.R, self.Tb), np.int32)
+        n_tok = np.full((self.R,), 10, np.int32)
+        spk = np.zeros((self.R, self.tcfg.hidden_size), np.float32)
+        lang = np.zeros((self.R,), np.int32)
+        keys = np.zeros((self.R, 2), np.uint32)
+        budgets = np.ones((self.R,), np.int32)
+        for r in range(n):
+            rid, t, nt, sp, lg, seed, budget = self._queue.pop(0)
+            lane = idle[r]
+            lane_idx[r] = lane
+            mask[r] = True
+            tokens[r], n_tok[r], spk[r], lang[r] = t, nt, sp, lg
+            keys[r] = np.asarray(jax.random.PRNGKey(seed))
+            budgets[r] = budget
+            self._lane_owner[lane] = _Lane(rid=rid, codes=[])
+        dtype = self.tp.codec_embd.dtype
+        self.state = refill(
+            self.tp, self.state, jnp.asarray(lane_idx), jnp.asarray(mask),
+            jnp.asarray(tokens), jnp.asarray(n_tok),
+            jnp.asarray(spk, dtype), jnp.asarray(lang),
+            jnp.asarray(keys), jnp.asarray(budgets),
+            talker_cfg=self.tcfg, nothink=self.nothink,
+            allow_eos=self.allow_eos, kernel_cb0=self.kernel_cb0,
+            **self.samp)
+        return True
+
+    def _harvest(self, res: ChunkResult):
+        codes = np.asarray(res.codes)
+        emit = np.asarray(res.emit)
+        done_np = np.asarray(res.state.done)
+        for b in range(self.B):
+            owner = self._lane_owner[b]
+            if owner is None:
+                continue
+            rows = codes[b][emit[b]]
+            if rows.size:
+                owner.codes.append(rows)
+            if done_np[b]:
+                self.results[owner.rid] = (
+                    np.concatenate(owner.codes, axis=0) if owner.codes
+                    else np.zeros((0, self.tcfg.n_codebooks), np.int32))
+                self._lane_owner[b] = None
+        return done_np
+
+    def _reset_session(self):
+        """Capacity reached and all lanes idle: rewind the write column.
+        Same compiled programs — only state values change."""
+        assert all(o is None for o in self._lane_owner)
+        self.state = init_state(
+            self.tp, self.tcfg, lanes=self.B, kv_capacity=self.C,
+            trailing_len=self.Tb - 3, nothink=self.nothink,
+            kernel_cb0=self.kernel_cb0)
+        self.sessions += 1
+
+    def run(self, max_chunks: int | None = None) -> dict[int, np.ndarray]:
+        """Drive the scheduler until the queue drains and all lanes finish.
+        Returns {rid: codes [n_frames, 16]} for every completed request."""
+        done_np = np.asarray(self.state.done)
+        while True:
+            active = any(o is not None for o in self._lane_owner)
+            if not self._queue and not active:
+                break
+            if self._queue and not active and not self._can_admit():
+                self._reset_session()
+                done_np = np.asarray(self.state.done)
+            self._do_refill(done_np)
+            if not any(o is not None for o in self._lane_owner):
+                # queue present but nothing admitted (capacity): drain path
+                # above will reset next loop
+                continue
+            res = decode_chunk(
+                self.tp, self.cp, self.state, talker_cfg=self.tcfg,
+                cp_cfg=self.ccfg, chunk_frames=self.K,
+                fused_cp=self.fused_cp,
+                fused_talker=self.fused_talker, allow_eos=self.allow_eos,
+                **self.samp)
+            self.state = res.state
+            self.chunks_run += 1
+            done_np = self._harvest(res)
+            if max_chunks is not None and self.chunks_run >= max_chunks:
+                break
+        return self.results

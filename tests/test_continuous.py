@@ -1,0 +1,181 @@
+"""Continuous batching (runtime/continuous.py) correctness.
+
+The load-bearing invariant: a request spliced into a lane mid-session at
+cache columns [p-P, p) must generate EXACTLY what a fresh run at columns
+[0, P) generates — RoPE is relative (rotary shift invariance) and the
+per-lane `start` mask hides the previous occupant's stale cache. Greedy
+codes are the gate (CLAUDE.md: chained-hidden cosine is chaotic; discrete
+codes are stable for same-math perturbations of zero — and here the math
+is exact, only the absolute positions differ).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qwen3tts_tpu.config import tiny_pipeline_config
+from qwen3tts_tpu.models import code_predictor as CP
+from qwen3tts_tpu.models import talker as T
+from qwen3tts_tpu.runtime import continuous as cont
+from qwen3tts_tpu.runtime import decode_loop as DL
+
+CFG = tiny_pipeline_config()
+TCFG, CCFG = CFG.talker, CFG.code_predictor
+H = TCFG.hidden_size
+
+
+@pytest.fixture(scope="module")
+def params():
+    tp = T.init_talker_params(jax.random.PRNGKey(21), TCFG, jnp.float32)
+    cp = CP.init_code_predictor_params(jax.random.PRNGKey(22), CCFG, jnp.float32)
+    return tp, cp
+
+
+def _requests():
+    """Unequal prompts and frame budgets — staggered finishes force
+    mid-session refills at several distinct splice points."""
+    reqs = []
+    for i, (ntok, budget) in enumerate(
+            [(11, 4), (12, 6), (10, 3), (13, 5), (11, 2), (12, 4)]):
+        tokens = (np.arange(ntok, dtype=np.int32) * (i + 3)) % 50 + 2
+        reqs.append(dict(tokens=tokens, n_tokens=ntok, budget=budget,
+                         seed=100 + i))
+    return reqs
+
+
+def _fresh(tp, cp, req, *, temperature, top_k, Tb=16):
+    padded = np.zeros((Tb,), np.int32)
+    padded[:req["n_tokens"]] = req["tokens"]
+    res = DL.generate_from_tokens(
+        tp, cp, jnp.asarray(padded), jnp.int32(req["n_tokens"]),
+        jnp.zeros((H,), jnp.float32), jnp.int32(TCFG.english_language_id),
+        jax.random.PRNGKey(req["seed"]),
+        talker_cfg=TCFG, cp_cfg=CCFG, max_frames=req["budget"],
+        kv_capacity=10 + req["budget"] + 8, temperature=temperature,
+        top_k=top_k, repetition_penalty=1.05, allow_eos=False)
+    n = int(res.n_frames)
+    return np.asarray(res.codes[:n])
+
+
+def _run_continuous(tp, cp, reqs, *, temperature, top_k, lanes=2,
+                    kv_capacity=28, chunk_frames=2, refill_slots=2):
+    sched = cont.ContinuousScheduler(
+        tp, cp, TCFG, CCFG, lanes=lanes, kv_capacity=kv_capacity,
+        text_bucket=16, chunk_frames=chunk_frames,
+        refill_slots=refill_slots, max_frames=8, temperature=temperature,
+        top_k=top_k, repetition_penalty=1.05, allow_eos=False)
+    rids = [sched.submit(r["tokens"], r["n_tokens"], np.zeros((H,)),
+                         TCFG.english_language_id, seed=r["seed"],
+                         max_frames=r["budget"]) for r in reqs]
+    results = sched.run()
+    return sched, [results[rid] for rid in rids]
+
+
+def test_continuous_greedy_matches_fresh_runs(params):
+    """Every request through the 2-lane continuous scheduler (staggered
+    refills, tight capacity forcing >=1 session reset) emits exactly the
+    codes a fresh single-stream greedy run emits."""
+    tp, cp = params
+    reqs = _requests()
+    sched, got = _run_continuous(tp, cp, reqs, temperature=0.0, top_k=0)
+    assert sched.sessions >= 1, (
+        "test config should be tight enough to recycle a session "
+        f"(n_past={int(sched.state.n_past)}, C={sched.C})")
+    for r, codes in zip(reqs, got):
+        want = _fresh(tp, cp, r, temperature=0.0, top_k=0)
+        assert codes.shape == want.shape == (r["budget"], TCFG.n_codebooks)
+        np.testing.assert_array_equal(codes, want)
+
+
+def test_continuous_sampled_matches_fresh_runs(params):
+    """Sampled decoding: the per-request key chain (fresh key at refill,
+    (key, k_cb0, k_cp) split per frame) reproduces the single-stream
+    sampled output for every request."""
+    tp, cp = params
+    reqs = _requests()[:4]
+    _, got = _run_continuous(tp, cp, reqs, temperature=0.9, top_k=50)
+    for r, codes in zip(reqs, got):
+        want = _fresh(tp, cp, r, temperature=0.9, top_k=50)
+        np.testing.assert_array_equal(codes, want)
+
+
+def test_refill_masks_previous_occupant(params):
+    """A lane's second occupant must not see the first one's cache: run the
+    same request as lane 0's first and second occupant — identical codes."""
+    tp, cp = params
+    req = _requests()[0]
+    # twice the same request, one lane: second run is spliced at p > 10
+    sched, got = _run_continuous(
+        tp, cp, [req, dict(req)], temperature=0.0, top_k=0, lanes=1,
+        refill_slots=1)
+    np.testing.assert_array_equal(got[0], got[1])
+    want = _fresh(tp, cp, req, temperature=0.0, top_k=0)
+    np.testing.assert_array_equal(got[0], want)
+
+
+def test_budget_and_emit_accounting(params):
+    """Emissions per request == its budget (allow_eos=False); chunks keep
+    lockstep (every chunk advances n_past by chunk_frames)."""
+    tp, cp = params
+    reqs = _requests()[:3]
+    sched, got = _run_continuous(tp, cp, reqs, temperature=0.0, top_k=0)
+    for r, codes in zip(reqs, got):
+        assert codes.shape[0] == r["budget"]
+        assert (codes[:, 0] >= 0).all()
+        assert (codes[:, 0] < TCFG.codec_vocab_size).all()
+        assert (codes[:, 1:] < CCFG.vocab_size).all()
+
+
+def test_continuous_fused_kernel_path_greedy(params):
+    """The production path: int8 blocks + fused cp/talker kernels with the
+    in-kernel cb0 epilogue and the per-lane `start` column mask (interpret
+    mode on CPU). Greedy codes for spliced requests must match fresh fused
+    single-stream runs — this exercises start= through
+    fused_talker_step_batched and the kernel's min-start DMA skip."""
+    from qwen3tts_tpu.ops.quant import quantize_block_params
+
+    tp, cp = params
+    tpq = tp._replace(blocks=quantize_block_params(tp.blocks))
+    cpq = cp._replace(blocks=quantize_block_params(cp.blocks))
+    reqs = [dict(tokens=np.arange(11, dtype=np.int32) + 2, n_tokens=11,
+                 budget=2, seed=7),
+            dict(tokens=(np.arange(12, dtype=np.int32) * 5) % 40 + 2,
+                 n_tokens=12, budget=3, seed=8),
+            dict(tokens=np.arange(10, dtype=np.int32) + 4, n_tokens=10,
+                 budget=2, seed=9)]
+
+    sched = cont.ContinuousScheduler(
+        tpq, cpq, TCFG, CCFG, lanes=2, kv_capacity=32, text_bucket=16,
+        chunk_frames=2, refill_slots=2, max_frames=4, temperature=0.0,
+        top_k=0, repetition_penalty=1.05, allow_eos=False,
+        fused_cp=True, fused_talker=True)
+    assert sched.kernel_cb0, "fused talker should resolve the cb0 epilogue"
+    rids = [sched.submit(r["tokens"], r["n_tokens"], np.zeros((H,)),
+                         TCFG.english_language_id, seed=r["seed"],
+                         max_frames=r["budget"]) for r in reqs]
+    results = sched.run()
+
+    for r, rid in zip(reqs, rids):
+        padded = np.zeros((16,), np.int32)
+        padded[:r["n_tokens"]] = r["tokens"]
+        want = DL.generate_from_tokens(
+            tpq, cpq, jnp.asarray(padded), jnp.int32(r["n_tokens"]),
+            jnp.zeros((H,), jnp.float32),
+            jnp.int32(TCFG.english_language_id),
+            jax.random.PRNGKey(r["seed"]), talker_cfg=TCFG, cp_cfg=CCFG,
+            max_frames=r["budget"], kv_capacity=32, temperature=0.0,
+            top_k=0, repetition_penalty=1.05, allow_eos=False,
+            fused_cp=True, fused_talker=True)
+        n = int(want.n_frames)
+        np.testing.assert_array_equal(results[rid], np.asarray(want.codes[:n]))
+
+
+def test_state_shapes_and_reset(params):
+    tp, cp = params
+    st = cont.init_state(tp, TCFG, lanes=4, kv_capacity=32, trailing_len=13)
+    assert st.kv.shape == (4, TCFG.n_layers, 2, TCFG.n_kv_heads, 32,
+                           TCFG.head_dim)
+    assert bool(st.done.all())
+    assert int(st.n_past) == cont.prefill_window_len(False) == 10
+    assert cont.prefill_window_len(True) == 9

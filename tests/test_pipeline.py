@@ -153,6 +153,25 @@ def test_synthesize_batch(tts):
                                rtol=2e-3, atol=2e-3)
 
 
+def test_synthesize_queue_continuous(tts):
+    """Continuous-batching queue API: greedy results must equal per-text
+    synthesize() exactly (keys are irrelevant under greedy), including the
+    vocoded audio, with more requests than lanes forcing mid-flight
+    refills."""
+    from qwen3tts_tpu.config import SamplingConfig
+    params = SamplingConfig(temperature=0.0, top_k=0, max_audio_tokens=6)
+    texts = ["Hello.", "Hi there.", "Good day.", "Yo."]
+    results = tts.synthesize_queue(texts, params, lanes=2, chunk_frames=2,
+                                   refill_slots=2)
+    assert all(r.success for r in results), [r.error_msg for r in results]
+    for t, r in zip(texts, results):
+        single = tts.synthesize(t, params)
+        np.testing.assert_array_equal(r.codes, single.codes)
+        assert len(r.audio) == r.n_frames * 1920
+        np.testing.assert_allclose(r.audio, single.audio,
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_config_from_model_dir_defaults():
     from qwen3tts_tpu.io.config_io import config_from_model_dir
     cfg = config_from_model_dir(None)

@@ -46,5 +46,8 @@ step bench_q4               env QWEN3TTS_BENCH_QUANT=q4 python bench.py
 step bench_q4pure           env QWEN3TTS_BENCH_QUANT=q4pure python bench.py
 step serving_b128_int8kv    env QWEN3TTS_KV_INT8=1 python tools/benchmark_serving.py --batch 128 --skip-long
 step serving_b128_bf16kv    python tools/benchmark_serving.py --batch 128 --skip-long
+# continuous batching vs the static loop on a variable-length mix (r3):
+# useful-frames/s both sides; expect ~1.3-1.6x from refilled lanes
+step continuous_b64         python tools/benchmark_continuous.py --lanes 64 --requests 192 --capacity 1024
 echo "=== done; flip QWEN3TTS_* defaults from these measurements (VERDICT #8)"
 echo "=== and record keep/revert verdicts in docs/performance.md"
