@@ -610,7 +610,8 @@ class Qwen3TTS:
     def synthesize_queue(self, texts, params: SamplingConfig = SamplingConfig(),
                          speakers=None, *, lanes: Optional[int] = None,
                          kv_capacity: Optional[int] = None,
-                         chunk_frames: int = 32, refill_slots: int = 8):
+                         chunk_frames: int = 32, refill_slots: int = 8,
+                         on_audio=None, stream_history: int = 16):
         """Continuous-batching synthesis of a request queue: finished lanes
         are refilled mid-flight (runtime/continuous.py), so a mix of
         unequal-length utterances keeps every lane busy instead of idling
@@ -621,7 +622,15 @@ class Qwen3TTS:
         request generations per session (more capacity = fewer session
         resets). Per-request PRNG keys derive from params.seed + index, so
         results are reproducible but differ from synthesize_batch's
-        key-split scheme."""
+        key-split scheme.
+
+        on_audio(request_index, audio_chunk, finished), if given, streams
+        each request's audio as it is generated: after every decode chunk,
+        all emitting lanes' windows ([stream_history left-context + new]
+        frames, seam semantics of stream_decode_chunks) are vocoded in ONE
+        fixed-shape vmapped dispatch. Per-request latency becomes ~one
+        chunk wall (chunk_frames trades TTFA against dispatch overhead);
+        the returned TTSResults carry the streamed audio concatenated."""
         rt = self.config.runtime
         tcfg, ccfg = self.config.talker, self.config.code_predictor
         vcfg = self.config.vocoder
@@ -663,7 +672,53 @@ class Qwen3TTS:
                 p_i, n_i, np.asarray(speakers[i], np.float32),
                 params.language_id, seed=params.seed + i,
                 max_frames=min(params.max_audio_tokens, max_frames)))
-        out = sched.run()
+        rid_to_idx = {rid: i for i, rid in enumerate(rids)}
+
+        on_chunk = None
+        streamed: dict[int, list] = {}
+        if on_audio is not None:
+            if self.vocoder_params is None:
+                self._load_vocoder()
+            spf_ = vcfg.samples_per_frame
+            ncb = vcfg.n_codebooks
+            hist_codes: dict[int, np.ndarray] = {}
+            emitted_count: dict[int, int] = {}
+            # fixed shapes: every chunk vocodes exactly `lanes` windows of
+            # one bucket — ONE compiled program for the whole run
+            Fb_s = pick_bucket(stream_history + chunk_frames,
+                               rt.vocoder_buckets)
+            G = lanes
+
+            def on_chunk(events):
+                wins = []
+                for rid, rows, finished in events:
+                    prev = hist_codes.get(rid)
+                    total_prev = emitted_count.get(rid, 0)
+                    acc = (rows if prev is None else
+                           np.concatenate([prev, rows], axis=0))
+                    hist = min(stream_history, total_prev)
+                    new = rows.shape[0]
+                    wins.append((rid, acc[-(hist + new):] if hist + new
+                                 else np.zeros((0, ncb), np.int32),
+                                 hist, new, finished))
+                    emitted_count[rid] = total_prev + new
+                    hist_codes[rid] = acc[-stream_history:]
+                    if finished:
+                        hist_codes.pop(rid, None)
+                bufs = np.zeros((G, Fb_s, ncb), np.int32)
+                nf = np.ones((G,), np.int32)
+                for g, (_, window, *_rest) in enumerate(wins[:G]):
+                    bufs[g, : window.shape[0]] = window
+                    nf[g] = max(window.shape[0], 1)
+                audio = vocode_batched(self.vocoder_params, vcfg,
+                                       jnp.asarray(bufs), jnp.asarray(nf))
+                for g, (rid, window, hist, new, finished) in enumerate(wins[:G]):
+                    chunk_audio = audio[g, hist * spf_: (hist + new) * spf_]
+                    if new or finished:
+                        streamed.setdefault(rid, []).append(chunk_audio)
+                        on_audio(rid_to_idx[rid], chunk_audio, finished)
+
+        out = sched.run(on_chunk=on_chunk)
         t_gen = now_ms() - t0
 
         all_codes = [out[rid] for rid in rids]
@@ -676,8 +731,9 @@ class Qwen3TTS:
         t0 = now_ms()
         nmax = int(n_clamped.max()) if B else 0
         batched_audio = None
-        if nmax > 0 and not (rt.vocoder_chunk_frames
-                             and nmax > rt.vocoder_chunk_frames):
+        if (on_audio is None and nmax > 0
+                and not (rt.vocoder_chunk_frames
+                         and nmax > rt.vocoder_chunk_frames)):
             Fb = pick_bucket(nmax, rt.vocoder_buckets)
             bufs = np.zeros((B, Fb, vcfg.n_codebooks), np.int32)
             for i in range(B):
@@ -695,7 +751,12 @@ class Qwen3TTS:
             if n == 0:
                 r.error_msg = "No speech codes generated"
                 continue
-            if batched_audio is not None:
+            if on_audio is not None:
+                chunks = streamed.get(rids[i], [])
+                r.audio = (np.concatenate(chunks)[: n * spf] if chunks
+                           else np.zeros(0, np.float32))
+                r.timings.t_decode_ms = 0.0   # vocoded inside t_generate
+            elif batched_audio is not None:
                 r.audio = batched_audio[i, : n * spf]
                 r.timings.t_decode_ms = t_dec / max(B, 1)
             else:

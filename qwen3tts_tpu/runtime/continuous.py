@@ -494,10 +494,11 @@ class ContinuousScheduler:
             **self.samp)
         return True
 
-    def _harvest(self, res: ChunkResult):
+    def _harvest(self, res: ChunkResult, on_chunk=None):
         codes = np.asarray(res.codes)
         emit = np.asarray(res.emit)
         done_np = np.asarray(res.state.done)
+        events = []
         for b in range(self.B):
             owner = self._lane_owner[b]
             if owner is None:
@@ -505,11 +506,16 @@ class ContinuousScheduler:
             rows = codes[b][emit[b]]
             if rows.size:
                 owner.codes.append(rows)
-            if done_np[b]:
+            finished = bool(done_np[b])
+            if rows.size or finished:
+                events.append((owner.rid, rows, finished))
+            if finished:
                 self.results[owner.rid] = (
                     np.concatenate(owner.codes, axis=0) if owner.codes
                     else np.zeros((0, self.tcfg.n_codebooks), np.int32))
                 self._lane_owner[b] = None
+        if on_chunk is not None and events:
+            on_chunk(events)
         return done_np
 
     def _reset_session(self):
@@ -522,9 +528,16 @@ class ContinuousScheduler:
             kernel_cb0=self.kernel_cb0)
         self.sessions += 1
 
-    def run(self, max_chunks: int | None = None) -> dict[int, np.ndarray]:
+    def run(self, max_chunks: int | None = None,
+            on_chunk=None) -> dict[int, np.ndarray]:
         """Drive the scheduler until the queue drains and all lanes finish.
-        Returns {rid: codes [n_frames, 16]} for every completed request."""
+        Returns {rid: codes [n_frames, 16]} for every completed request.
+
+        on_chunk, if given, is called after every decode chunk with a list
+        of (rid, new_codes [k, 16], finished) events — the codes-streaming
+        hook (pipeline.synthesize_queue turns it into chunked audio via the
+        vocoder). Per-request latency is then ~one chunk wall instead of
+        completion wall."""
         done_np = np.asarray(self.state.done)
         while True:
             active = any(o is not None for o in self._lane_owner)
@@ -546,7 +559,7 @@ class ContinuousScheduler:
                 **self.samp)
             self.state = res.state
             self.chunks_run += 1
-            done_np = self._harvest(res)
+            done_np = self._harvest(res, on_chunk)
             if max_chunks is not None and self.chunks_run >= max_chunks:
                 break
         return self.results

@@ -172,6 +172,36 @@ def test_synthesize_queue_continuous(tts):
                                    rtol=2e-3, atol=2e-3)
 
 
+def test_synthesize_queue_streaming_audio(tts):
+    """Streaming continuous serving: on_audio receives per-request audio
+    chunks as generation progresses; with history covering the whole past
+    the concatenated stream equals the full decode (seam exactness, as in
+    stream_decode_chunks)."""
+    from qwen3tts_tpu.config import SamplingConfig
+    params = SamplingConfig(temperature=0.0, top_k=0, max_audio_tokens=6)
+    texts = ["Hello.", "Hi there.", "Good day."]
+    got = {}
+    calls = {}
+
+    def on_audio(idx, chunk, finished):
+        got.setdefault(idx, []).append(np.asarray(chunk))
+        calls[idx] = calls.get(idx, 0) + 1
+        if finished:
+            calls[(idx, "fin")] = calls.get((idx, "fin"), 0) + 1
+
+    results = tts.synthesize_queue(
+        texts, params, lanes=2, chunk_frames=2, refill_slots=2,
+        on_audio=on_audio, stream_history=64)
+    assert all(r.success for r in results)
+    for i, r in enumerate(results):
+        streamed = np.concatenate(got[i])[: r.n_frames * 1920]
+        assert calls[i] >= 3, "expected one call per 2-frame chunk"
+        assert calls[(i, "fin")] == 1
+        np.testing.assert_array_equal(streamed, r.audio)
+        full = tts.decode_codes(r.codes)
+        np.testing.assert_allclose(streamed, full, rtol=2e-3, atol=2e-3)
+
+
 def test_config_from_model_dir_defaults():
     from qwen3tts_tpu.io.config_io import config_from_model_dir
     cfg = config_from_model_dir(None)
