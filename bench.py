@@ -388,6 +388,56 @@ def main() -> None:
         ttfas.append(time.perf_counter() - t0)
     ttfa_p50 = float(np.median(ttfas))
 
+    # --- timed: continuous-batching serving mini-run (runtime/continuous.py)
+    # — FAIL-SAFE: any error lands in the JSON, never fails the bench; the
+    # full continuous-vs-static A/B lives in tools/benchmark_continuous.py
+    # (hw_session_r3.sh). QWEN3TTS_BENCH_CONTINUOUS=0 skips. ---
+    cont = None
+    if os.environ.get("QWEN3TTS_BENCH_CONTINUOUS", "1") not in (
+            "0", "false", "off"):
+        try:
+            from qwen3tts_tpu.runtime.continuous import ContinuousScheduler
+
+            lanes, C_s, K_s = 16, 512, 32
+            rng = np.random.default_rng(5)
+            budgets = np.clip(rng.lognormal(np.log(52), 0.4, 48),
+                              24, 96).astype(np.int32)
+            reqs = []
+            for i in range(48):
+                nt = int(rng.integers(10, 32))
+                reqs.append((rng.integers(2, 2000, nt).astype(np.int32),
+                             nt, int(budgets[i])))
+            useful = int(budgets.sum())
+
+            def cont_pass():
+                sched = ContinuousScheduler(
+                    tp, cp, tcfg, ccfg, lanes=lanes, kv_capacity=C_s,
+                    text_bucket=32, chunk_frames=K_s, refill_slots=8,
+                    max_frames=96, temperature=0.9, top_k=50,
+                    repetition_penalty=1.05, allow_eos=False)
+                for i, (tk, nt, bd) in enumerate(reqs):
+                    sched.submit(tk, nt, np.zeros((tcfg.hidden_size,),
+                                                  np.float32),
+                                 2050, seed=i, max_frames=bd)
+                t0 = time.perf_counter()
+                got = sched.run()
+                wall = time.perf_counter() - t0
+                assert sum(v.shape[0] for v in got.values()) == useful
+                return wall, sched
+
+            t0 = time.perf_counter()
+            cont_pass()    # compile pass (decode_chunk + refill)
+            print(f"continuous compile+run: {time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr)
+            wall, sched = cont_pass()
+            cont = {"aggregate_fps": round(useful / wall, 1),
+                    "lanes": lanes, "useful_frames": useful,
+                    "wall_s": round(wall, 3), "chunks": sched.chunks_run,
+                    "sessions": sched.sessions,
+                    "compactions": sched.compactions}
+        except Exception as e:   # report, never fail the headline bench
+            cont = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     result = {
         "metric": "audio_rtf",
         "value": round(rtf, 3),
@@ -406,6 +456,8 @@ def main() -> None:
         "quant": quant,
         "device": str(dev),
     }
+    if cont is not None:
+        result["continuous"] = cont
     vs = _regression_verdict(result)
     if vs is not None:
         result["vs_prior"] = vs

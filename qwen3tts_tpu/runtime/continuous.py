@@ -215,6 +215,42 @@ def refill(
         keys=st_keys, done=done)
 
 
+@functools.partial(jax.jit, static_argnames=("talker_cfg",))
+def compact(state: ContinuousState, shift: jnp.ndarray, *,
+            talker_cfg: TalkerConfig) -> ContinuousState:
+    """Reclaim cache columns below every active lane's start: roll the whole
+    cache down by `shift` columns, re-rotate the K rows by -shift, and
+    rebase n_past/start — serving sessions then run indefinitely at bounded
+    capacity instead of draining when the write column hits C.
+
+    Exactness: attention depends only on RELATIVE positions. The cache
+    stores post-RoPE K = R(pos)·k_raw; at the shifted column the row must
+    read R(pos-shift)·k_raw = R(-shift)·R(pos)·k_raw — NEOX rotations
+    compose per frequency pair, so one extra rotation by -shift fixes every
+    K row in place (V rows are position-free). The wrapped-around tail is
+    invalid by construction (cols >= n_past-shift) and idle lanes' stale
+    starts clamp at 0.
+
+    Cost: ~1.5 full-cache HBM passes (roll + K rewrite) per call — ~20 ms
+    at B=64/C=1024 on v5e, reclaiming hundreds of columns."""
+    from ..ops.rope import rope_angles
+
+    kv = state.kv                      # [B, L, 2, Hkv, C, D]
+    D = kv.shape[5]
+    rolled = jnp.roll(kv, -shift, axis=4)
+    cos, sin = rope_angles(-jnp.asarray(shift, jnp.int32), D,
+                           talker_cfg.rope_theta)      # [D/2] f32
+    k = rolled[:, :, 0].astype(jnp.float32)            # [B, L, Hkv, C, D]
+    half = D // 2
+    k1, k2 = k[..., :half], k[..., half:]
+    k_rot = jnp.concatenate(
+        [k1 * cos - k2 * sin, k1 * sin + k2 * cos], axis=-1).astype(kv.dtype)
+    return state._replace(
+        kv=rolled.at[:, :, 0].set(k_rot),
+        n_past=state.n_past - shift,
+        start=jnp.maximum(state.start - shift, 0))
+
+
 class ChunkResult(NamedTuple):
     state: ContinuousState
     codes: jnp.ndarray    # [B, K, 16] int32 (emitted frames; rest garbage)
@@ -433,6 +469,7 @@ class ContinuousScheduler:
         self.results: dict[int, np.ndarray] = {}
         self.chunks_run = 0
         self.sessions = 0
+        self.compactions = 0
 
     def submit(self, tokens, n_tokens: int, speaker_embd, language_id: int,
                seed: int = 0, max_frames: int | None = None) -> int:
@@ -528,6 +565,25 @@ class ContinuousScheduler:
             kernel_cb0=self.kernel_cb0)
         self.sessions += 1
 
+    def _try_compact(self) -> bool:
+        """Capacity pressure with lanes still running: reclaim the columns
+        below every ACTIVE lane's start (runtime/continuous.compact) when
+        that reclaims enough to admit again. Idle lanes don't constrain the
+        shift (their stale windows are dead)."""
+        active_starts = [int(np.asarray(self.state.start)[b])
+                         for b in range(self.B)
+                         if self._lane_owner[b] is not None]
+        if not active_starts:
+            return False
+        smin = min(active_starts)
+        needed = int(self.state.n_past) + self.max_frames + self.K - self.C
+        if smin <= 0 or smin < needed:
+            return False
+        self.state = compact(self.state, jnp.int32(smin),
+                             talker_cfg=self.tcfg)
+        self.compactions += 1
+        return True
+
     def run(self, max_chunks: int | None = None,
             on_chunk=None) -> dict[int, np.ndarray]:
         """Drive the scheduler until the queue drains and all lanes finish.
@@ -543,9 +599,12 @@ class ContinuousScheduler:
             active = any(o is not None for o in self._lane_owner)
             if not self._queue and not active:
                 break
-            if self._queue and not active and not self._can_admit():
-                self._reset_session()
-                done_np = np.asarray(self.state.done)
+            if self._queue and not self._can_admit():
+                if not active:
+                    self._reset_session()
+                    done_np = np.asarray(self.state.done)
+                else:
+                    self._try_compact()
             self._do_refill(done_np)
             if not any(o is not None for o in self._lane_owner):
                 # queue present but nothing admitted (capacity): drain path

@@ -79,12 +79,29 @@ def test_continuous_greedy_matches_fresh_runs(params):
     tp, cp = params
     reqs = _requests()
     sched, got = _run_continuous(tp, cp, reqs, temperature=0.0, top_k=0)
-    assert sched.sessions >= 1, (
-        "test config should be tight enough to recycle a session "
+    assert sched.sessions + sched.compactions >= 1, (
+        "test config should be tight enough to hit the capacity path "
         f"(n_past={int(sched.state.n_past)}, C={sched.C})")
     for r, codes in zip(reqs, got):
         want = _fresh(tp, cp, r, temperature=0.0, top_k=0)
         assert codes.shape == want.shape == (r["budget"], TCFG.n_codebooks)
+        np.testing.assert_array_equal(codes, want)
+
+
+def test_compaction_is_exact(params):
+    """Rolling compaction (roll + K re-rotation by -shift) mid-request must
+    not change any request's codes: run a queue long enough to force
+    compactions while lanes are mid-generation and compare every result
+    against fresh runs."""
+    tp, cp = params
+    reqs = _requests() + [dict(r, seed=r["seed"] + 50) for r in _requests()]
+    sched, got = _run_continuous(tp, cp, reqs, temperature=0.0, top_k=0,
+                                 kv_capacity=32)
+    assert sched.compactions >= 1, (
+        f"expected compactions (sessions={sched.sessions}, "
+        f"n_past={int(sched.state.n_past)})")
+    for r, codes in zip(reqs, got):
+        want = _fresh(tp, cp, r, temperature=0.0, top_k=0)
         np.testing.assert_array_equal(codes, want)
 
 

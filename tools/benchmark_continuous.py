@@ -86,7 +86,8 @@ def run_continuous(tp, cp, tcfg, ccfg, reqs, args):
     return dict(wall_s=round(wall, 3),
                 useful_frames=useful,
                 frames_per_s=round(useful / wall, 1),
-                chunks=sched.chunks_run, sessions=sched.sessions)
+                chunks=sched.chunks_run, sessions=sched.sessions,
+                compactions=sched.compactions)
 
 
 def _static_batches(reqs, B):
