@@ -44,7 +44,8 @@ def _rms(x, w, eps):
     return x * lax.rsqrt(var + eps) * w.astype(jnp.float32)
 
 
-def _make_kernel(cfg, B, *, top_k, mode, io_dtype, greedy, use_top_p):
+def _make_kernel(cfg, B, *, top_k, mode, io_dtype, greedy, use_top_p,
+                 per_lane_samp=False):
     H = cfg.hidden_size
     L = cfg.n_layers
     Hq, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
@@ -80,8 +81,11 @@ def _make_kernel(cfg, B, *, top_k, mode, io_dtype, greedy, use_top_p):
                codes_ref, sum_ref,
                kc, vc, head_buf, table_buf, sc3, sc_flat, sem_h, sem_t):
         seeds = seeds_ref[...]          # [B, 1] int32 per-lane seeds (VMEM)
-        temp = temp_ref[0, 0]
-        topp = topp_ref[0, 0]
+        # per-lane [B, 1] sampling params broadcast through the row-wise
+        # sampler exactly like scalars (continuous serving: each request
+        # carries its own temperature/top_p)
+        temp = temp_ref[...] if per_lane_samp else temp_ref[0, 0]
+        topp = topp_ref[...] if per_lane_samp else topp_ref[0, 0]
         codes_ref[...] = jnp.zeros((B, 128), jnp.int32)
         sum_ref[...] = jnp.zeros((B, H), jnp.float32)
         kc[...] = jnp.zeros((L, Hkv, CTX, B, D), io_dtype)
@@ -237,8 +241,10 @@ def fused_predict_codes_batched(
 
     Lane b's sampled codes equal fused_predict_codes run single-stream with
     seed seeds[b] (counter-hash noise is lane-decomposable). temperature and
-    top_p are traced scalars; greedy/use_top_p static stage gates (derived
-    from python-float params when not given)."""
+    top_p are traced scalars — or PER-LANE [B] arrays (continuous serving:
+    each request its own values; the row-wise sampler broadcasts [B,1] like
+    a scalar); greedy/use_top_p static stage gates (derived from
+    python-float params when not given)."""
     greedy, use_top_p = sampling_flags(temperature, top_p, greedy, use_top_p)
     return _fused_predict_codes_batched_jit(
         cp_params, cfg, talker_hidden, cb0_embd, seeds,
@@ -282,15 +288,19 @@ def _fused_predict_codes_batched_jit(
 
     xinit = jnp.stack([talker_hidden, cb0_embd]).astype(io_dtype)  # [2, B, H]
 
+    per_lane_samp = getattr(temperature, "ndim", 0) >= 1
     kernel = _make_kernel(cfg, B, top_k=top_k, mode=mode, io_dtype=io_dtype,
-                          greedy=greedy, use_top_p=use_top_p)
+                          greedy=greedy, use_top_p=use_top_p,
+                          per_lane_samp=per_lane_samp)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     any_ = pl.BlockSpec(memory_space=pl.ANY)
+    samp_spec = vmem if per_lane_samp else smem
+    samp_shape = (B, 1) if per_lane_samp else (1, 1)
     codes_pad, rest_sum = pl.pallas_call(
         kernel,
         in_specs=[
-            vmem, smem, smem,       # per-lane seeds (VMEM), temp, top_p
+            vmem, samp_spec, samp_spec,  # per-lane seeds, temp, top_p
             vmem, vmem, vmem,
             vmem, vmem, vmem, vmem, vmem,
             vmem, vmem, vmem, vmem, vmem, vmem, vmem, vmem,
@@ -317,8 +327,8 @@ def _fused_predict_codes_batched_jit(
         interpret=pltpu.InterpretParams() if interpret else False,
     )(
         jnp.asarray(seeds, jnp.int32).reshape(B, 1),
-        jnp.asarray(temperature, jnp.float32).reshape(1, 1),
-        jnp.asarray(top_p, jnp.float32).reshape(1, 1),
+        jnp.asarray(temperature, jnp.float32).reshape(samp_shape),
+        jnp.asarray(top_p, jnp.float32).reshape(samp_shape),
         xinit, cos, sin,
         blocks.attn_norm[:, None, :], blocks.q_norm[:, None, :],
         blocks.k_norm[:, None, :], blocks.ffn_norm[:, None, :],

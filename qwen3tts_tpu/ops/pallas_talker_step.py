@@ -177,7 +177,8 @@ def _weight_specs_and_operands(blocks, blk, grp):
     return specs, ops
 
 
-def _sample_cfg(codec_head, top_k, suppress_start, eos_id, greedy, use_top_p):
+def _sample_cfg(codec_head, top_k, suppress_start, eos_id, greedy, use_top_p,
+                per_lane=False):
     """Static config for the in-kernel cb0 sampling epilogue."""
     from .kernel_prng import make_sampler
 
@@ -186,6 +187,7 @@ def _sample_cfg(codec_head, top_k, suppress_start, eos_id, greedy, use_top_p):
         "fn": make_sampler(top_k, Vc, greedy=greedy, use_top_p=use_top_p),
         "suppress_start": Vc if suppress_start is None else suppress_start,
         "eos_id": eos_id,
+        "per_lane": per_lane,
     }
 
 
@@ -194,34 +196,58 @@ def _sample_epilogue(logits, seen_ref, samp_ref, seed_ref, sample, out_ref):
     [suppress_start, Vc) except eos_id, HF repetition penalty over the seen
     mask, then the shared counter-hash temp/top-k/top-p sampler
     (semantics: ops/sampling.{apply_suppression,apply_repetition_penalty,
-    sample_token}). Writes int32 [R, 1] token ids to out_ref."""
+    sample_token}). Writes int32 [R, 1] token ids to out_ref.
+
+    With sample["per_lane"], samp_ref is [R, 4] VMEM rows of
+    (temp, top_p, penalty, 0) — each [R, 1] column broadcasts through the
+    row-wise math exactly like the scalar (continuous serving: per-request
+    sampling params)."""
     R, Vc = logits.shape
     ids = lax.broadcasted_iota(jnp.int32, (R, Vc), 1)
     smask = jnp.logical_and(ids >= sample["suppress_start"],
                             ids != sample["eos_id"])
     logits = jnp.where(smask, NEG_INF, logits)
-    pen = samp_ref[0, 2]
+    if sample.get("per_lane"):
+        pen, temp, topp = (samp_ref[:, 2:3], samp_ref[:, 0:1],
+                           samp_ref[:, 1:2])
+    else:
+        pen, temp, topp = samp_ref[0, 2], samp_ref[0, 0], samp_ref[0, 1]
     seen = seen_ref[...] != 0
     penalized = jnp.where(logits > 0.0, logits / pen, logits * pen)
     logits = jnp.where(seen, penalized, logits)
     out_ref[...] = sample["fn"](
-        logits, samp_ref[0, 0], samp_ref[0, 1], seed_ref[...], jnp.int32(0))
+        logits, temp, topp, seed_ref[...], jnp.int32(0))
 
 
 def _sample_operands(seen, seeds, temperature, top_p, repetition_penalty):
-    """(specs, operands) for the sampling epilogue's three extra inputs."""
+    """(specs, operands) for the sampling epilogue's three extra inputs.
+    Scalar params pack into one SMEM (1,4) row; per-lane [B] arrays pack
+    into a VMEM [B,4] slab (columns: temp, top_p, penalty, pad)."""
     R = seen.shape[0]
-    samp = jnp.stack([
-        jnp.asarray(temperature, jnp.float32),
-        jnp.asarray(top_p, jnp.float32),
-        jnp.asarray(repetition_penalty, jnp.float32),
-        jnp.float32(0.0)]).reshape(1, 4)
+    per_lane = any(getattr(v, "ndim", 0) >= 1
+                   for v in (temperature, top_p, repetition_penalty))
+    if per_lane:
+        def col(v):
+            v = jnp.asarray(v, jnp.float32)
+            return jnp.broadcast_to(v.reshape(-1, 1) if v.ndim else v,
+                                    (R, 1))
+        samp = jnp.concatenate(
+            [col(temperature), col(top_p), col(repetition_penalty),
+             jnp.zeros((R, 1), jnp.float32)], axis=1)
+        samp_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    else:
+        samp = jnp.stack([
+            jnp.asarray(temperature, jnp.float32),
+            jnp.asarray(top_p, jnp.float32),
+            jnp.asarray(repetition_penalty, jnp.float32),
+            jnp.float32(0.0)]).reshape(1, 4)
+        samp_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     specs = [pl.BlockSpec(memory_space=pltpu.VMEM),
-             pl.BlockSpec(memory_space=pltpu.SMEM),
+             samp_spec,
              pl.BlockSpec(memory_space=pltpu.VMEM)]
     ops = [seen.astype(jnp.int8), samp,
            jnp.asarray(seeds, jnp.int32).reshape(R, 1)]
-    return specs, ops
+    return specs, ops, per_lane
 
 
 def _make_kernel(cfg, C, *, mode, kv_dtype, lps, with_head, sample=None):
@@ -431,7 +457,7 @@ def fused_talker_step(
         in_specs += [vmem_full, vmem_full]
         operands += [output_norm.reshape(1, H), codec_head]
         if sample_cb0:
-            sspecs, sops = _sample_operands(
+            sspecs, sops, _ = _sample_operands(
                 seen.reshape(1, -1), seeds, temperature, top_p,
                 repetition_penalty)
             in_specs += sspecs
@@ -827,7 +853,7 @@ def fused_talker_step_hbm(
         in_specs += [vmem_full, vmem_full]
         operands += [output_norm.reshape(1, H), codec_head]
         if sample_cb0:
-            sspecs, sops = _sample_operands(
+            sspecs, sops, _ = _sample_operands(
                 seen.reshape(1, -1), seeds, temperature, top_p,
                 repetition_penalty)
             in_specs += sspecs
@@ -1371,8 +1397,11 @@ def fused_talker_step_batched(
     if sample_cb0:
         assert with_head and not lane_major, \
             "cb0 sampling needs codec_head and the batch-major layout"
+        per_lane_samp = any(getattr(v, "ndim", 0) >= 1
+                            for v in (temperature, top_p,
+                                      repetition_penalty))
         sample = _sample_cfg(codec_head, top_k, suppress_start, eos_id,
-                             greedy, use_top_p)
+                             greedy, use_top_p, per_lane=per_lane_samp)
     else:
         sample = None
 
@@ -1424,8 +1453,9 @@ def fused_talker_step_batched(
         in_specs += [vmem_full, vmem_full]
         operands += [output_norm.reshape(1, H), codec_head]
         if sample_cb0:
-            sspecs, sops = _sample_operands(
+            sspecs, sops, _pl = _sample_operands(
                 seen, seeds, temperature, top_p, repetition_penalty)
+            assert _pl == sample["per_lane"]
             in_specs += sspecs
             operands += sops
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # kv stays in HBM

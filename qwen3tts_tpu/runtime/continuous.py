@@ -58,7 +58,6 @@ from ..ops.kernel_prng import sampling_flags
 from ..ops.sampling import apply_repetition_penalty, apply_suppression, sample_token
 from .decode_loop import (
     _CP_KERNEL_MAX_LANES,
-    _init_cb0,
     _resolve_fused_cp,
     _resolve_fused_talker,
     _resolve_kernel_cb0,
@@ -82,6 +81,8 @@ class ContinuousState(NamedTuple):
     seen: jnp.ndarray         # [B, Vc] bool repetition-penalty set
     frame: jnp.ndarray        # [B] int32: frames emitted by current occupant
     budget: jnp.ndarray       # [B] int32: occupant's max_audio_tokens
+    samp: jnp.ndarray         # [B, 3] f32 per-occupant sampling params:
+                              # (temperature, top_p, repetition_penalty)
     trailing: jnp.ndarray     # [B, Trb, H] per-occupant trailing schedule
     keys: jax.Array           # [B] per-lane PRNG keys
     done: jnp.ndarray         # [B] bool: lane idle (finished / never filled)
@@ -112,6 +113,7 @@ def init_state(
         seen=jnp.zeros((B, Vc), jnp.bool_),
         frame=jnp.zeros((B,), jnp.int32),
         budget=jnp.zeros((B,), jnp.int32),
+        samp=jnp.ones((B, 3), jnp.float32),
         trailing=jnp.zeros((B, trailing_len, H), dtype),
         keys=jnp.zeros((B, 2), jnp.uint32),
         done=jnp.ones((B,), jnp.bool_),
@@ -132,10 +134,11 @@ def refill(
     language_id: jnp.ndarray,  # [R]
     keys: jax.Array,           # [R] fresh per-request PRNG keys
     budgets: jnp.ndarray,      # [R] int32 per-request max_audio_tokens
+    samp: jnp.ndarray,         # [R, 3] f32 per-request (temp, top_p, pen)
     *,
     talker_cfg: TalkerConfig,
     nothink: bool = False,
-    temperature=1.0, top_k: int = 0, top_p=1.0, repetition_penalty=1.05,
+    top_k: int = 0,
     allow_eos: bool = True,
     kernel_cb0: bool = False,
     greedy: bool = False,
@@ -145,8 +148,10 @@ def refill(
 
     Computes each slot's fixed prefill window at absolute positions
     [n_past - P, n_past) (talker_model.talker_prefill_window), scatters the
-    window K/V into the lane's cache, and resets the lane's sampling state.
-    Masked slots are no-ops. R is static — one compiled program per R."""
+    window K/V into the lane's cache, and resets the lane's sampling state
+    (each request carries its own temperature/top_p/repetition_penalty in
+    `samp`; greedy/use_top_p/top_k stay per-server statics). Masked slots
+    are no-ops. R is static — one compiled program per R."""
     B = state.kv.shape[0]
     p = state.n_past
     P = prefill_window_len(nothink)
@@ -162,11 +167,23 @@ def refill(
             talker_params, talker_cfg, pe, pos0, kv_dtype=state.kv.dtype)
     )(pre.prefill_embd)                     # [R,H], [R,Vc], [R,L,2,Hkv,P,D]
 
-    logits_c, cb0_init, keys_next = _init_cb0(
-        logits, keys, talker_cfg, kernel_cb0=kernel_cb0,
-        temperature=temperature, top_k=top_k, top_p=top_p,
-        repetition_penalty=repetition_penalty, allow_eos=allow_eos,
-        greedy=greedy, use_top_p=use_top_p)
+    # frame 0's cb0 from the prefill logits (decode_loop._init_cb0 semantics
+    # with PER-SLOT sampling params; key split mirrors the loop body's)
+    Vc_ = talker_cfg.codec_vocab_size
+    if kernel_cb0:
+        ks0 = jax.vmap(lambda k: jax.random.split(k, 3))(keys)
+        keys_next, k_cb0 = ks0[:, 0], ks0[:, 1]
+        l0 = apply_suppression(
+            logits, Vc_ - talker_cfg.n_suppressed_tail,
+            talker_cfg.codec_eos_id if allow_eos else -1)
+        cb0_init = jax.vmap(
+            lambda kk, row, t, p: sample_token(
+                kk, row, temperature=t, top_k=top_k, top_p=p,
+                greedy=greedy, use_top_p=use_top_p))(
+            k_cb0, l0, samp[:, 0], samp[:, 1])
+        logits_c = jnp.zeros((logits.shape[0], 0), jnp.float32)
+    else:
+        logits_c, cb0_init, keys_next = logits, None, keys
 
     R = lane_idx.shape[0]
     L, _, Hkv, C, D = state.kv.shape[1:]
@@ -180,6 +197,7 @@ def refill(
     seen = state.seen
     frame = state.frame
     budget = state.budget
+    st_samp = state.samp
     trailing = state.trailing
     st_keys = state.keys
     done = state.done
@@ -201,6 +219,7 @@ def refill(
         seen = put(seen, jnp.zeros((Vc,), jnp.bool_))
         frame = put(frame, jnp.int32(0))
         budget = put(budget, budgets[r])
+        st_samp = put(st_samp, jnp.asarray(samp[r], jnp.float32))
         trailing = put(trailing, pre.trailing[r].astype(trailing.dtype))
         st_keys = put(st_keys, keys_next[r])
         done = put(done, jnp.bool_(False))
@@ -211,8 +230,8 @@ def refill(
 
     return state._replace(
         start=start, logits=st_logits, cb0_next=cb0_next, last_hidden=lh,
-        kv=kv, seen=seen, frame=frame, budget=budget, trailing=trailing,
-        keys=st_keys, done=done)
+        kv=kv, seen=seen, frame=frame, budget=budget, samp=st_samp,
+        trailing=trailing, keys=st_keys, done=done)
 
 
 @functools.partial(jax.jit, static_argnames=("talker_cfg",))
@@ -269,7 +288,7 @@ def decode_chunk(
     talker_cfg: TalkerConfig,
     cp_cfg: CodePredictorConfig,
     chunk_frames: int,
-    temperature=1.0, top_k: int = 0, top_p=1.0, repetition_penalty=1.05,
+    top_k: int = 0,
     fused_cp="auto",
     fused_talker="auto",
     allow_eos: bool = True,
@@ -280,12 +299,14 @@ def decode_chunk(
 
     Per-iteration semantics match decode_loop._generate_batched_fused
     exactly (same key-split order, suppression/penalty/sampler, one-hot cb0
-    embedding, lockstep emission) with three continuous-batching deltas:
+    embedding, lockstep emission) with four continuous-batching deltas:
     per-lane `start` reaches the talker (kernel column mask / XLA attention
-    mask), the trailing schedule comes from carried per-lane state, and a
-    lane is additionally done when its occupant reaches its per-request
-    frame budget. Idle (done) lanes keep stepping with masked emissions, as
-    in the static loop."""
+    mask), the trailing schedule comes from carried per-lane state, each
+    lane samples with its occupant's own temperature/top_p/
+    repetition_penalty (state.samp — greedy/use_top_p/top_k stay
+    per-server statics), and a lane is additionally done when its occupant
+    reaches its per-request frame budget. Idle (done) lanes keep stepping
+    with masked emissions, as in the static loop."""
     B, _, _, _, C, _ = state.kv.shape
     H = talker_cfg.hidden_size
     Vc = talker_cfg.codec_vocab_size
@@ -312,18 +333,19 @@ def decode_chunk(
 
     def body(k, carry):
         s, codes_buf, emit_buf, eos_buf = carry
+        temp_l, topp_l, pen_l = s.samp[:, 0], s.samp[:, 1], s.samp[:, 2]
         ks = jax.vmap(lambda kk: jax.random.split(kk, 3))(s.keys)
         keys_next, k_cb0, k_cp = ks[:, 0], ks[:, 1], ks[:, 2]
         if kernel_cb0:
             cb0 = s.cb0_next
         else:
             l = apply_suppression(s.logits, suppress_start, eos_for_mask)
-            l = apply_repetition_penalty(l, s.seen, repetition_penalty)
+            l = apply_repetition_penalty(l, s.seen, pen_l[:, None])
             cb0 = jax.vmap(
-                lambda kk, row: sample_token(
-                    kk, row, temperature=temperature, top_k=top_k,
-                    top_p=top_p, greedy=greedy, use_top_p=use_top_p)
-            )(k_cb0, l)
+                lambda kk, row, t, p: sample_token(
+                    kk, row, temperature=t, top_k=top_k,
+                    top_p=p, greedy=greedy, use_top_p=use_top_p)
+            )(k_cb0, l, temp_l, topp_l)
         is_eos = jnp.logical_and(cb0 == talker_cfg.codec_eos_id, allow_eos)
         done = jnp.logical_or(s.done, is_eos)
         emit = ~done
@@ -341,18 +363,19 @@ def decode_chunk(
                 cp_params, cp_cfg, hidden_in[o:o + _CP_KERNEL_MAX_LANES],
                 cb0_embd[o:o + _CP_KERNEL_MAX_LANES],
                 seeds[o:o + _CP_KERNEL_MAX_LANES],
-                temperature=temperature, top_k=top_k, top_p=top_p,
+                temperature=temp_l[o:o + _CP_KERNEL_MAX_LANES],
+                top_k=top_k, top_p=topp_l[o:o + _CP_KERNEL_MAX_LANES],
                 greedy=greedy, use_top_p=use_top_p)
                 for o in range(0, B, _CP_KERNEL_MAX_LANES)]
             rest = jnp.concatenate([r for r, _ in outs], axis=0)
             rest_sum = jnp.concatenate([rs for _, rs in outs], axis=0)
         else:
             rest = jax.vmap(
-                lambda h, ce, kk: cp_model.predict_codes(
-                    cp_params, cp_cfg, h, ce, kk, temperature=temperature,
-                    top_k=top_k, top_p=top_p, greedy=greedy,
+                lambda h, ce, kk, t, p: cp_model.predict_codes(
+                    cp_params, cp_cfg, h, ce, kk, temperature=t,
+                    top_k=top_k, top_p=p, greedy=greedy,
                     use_top_p=use_top_p)
-            )(s.last_hidden.astype(dtype), cb0_embd, k_cp)
+            )(s.last_hidden.astype(dtype), cb0_embd, k_cp, temp_l, topp_l)
             rest_sum = _rest_embd_sum(cp_params, cp_cfg, rest)
         frame_codes = jnp.concatenate([cb0[:, None], rest], axis=1)
 
@@ -380,8 +403,8 @@ def decode_chunk(
                 output_norm=talker_params.output_norm,
                 codec_head=talker_params.codec_head,
                 seen=seen, seeds=seeds_cb0, start=s.start,
-                temperature=temperature, top_p=top_p,
-                repetition_penalty=repetition_penalty, top_k=top_k,
+                temperature=temp_l, top_p=topp_l,
+                repetition_penalty=pen_l, top_k=top_k,
                 suppress_start=suppress_start, eos_id=eos_for_mask,
                 greedy=greedy, use_top_p=use_top_p)
             hidden = hidden_f32.astype(dtype)
@@ -442,7 +465,7 @@ class ContinuousScheduler:
                  top_k: int = 50, top_p: float = 1.0,
                  repetition_penalty: float = 1.05, nothink: bool = False,
                  allow_eos: bool = True, fused_cp="auto",
-                 fused_talker="auto"):
+                 fused_talker="auto", mesh=None):
         P = prefill_window_len(nothink)
         assert kv_capacity >= P + max_frames + chunk_frames, \
             "kv_capacity cannot admit even one request"
@@ -453,16 +476,21 @@ class ContinuousScheduler:
         self.max_frames = max_frames
         self.nothink, self.allow_eos = nothink, allow_eos
         self.fused_cp, self.fused_talker = fused_cp, fused_talker
+        # greedy/use_top_p/top_k are per-SERVER statics (compiled program
+        # class, kernel_prng.sampling_flags); temperature/top_p/
+        # repetition_penalty are per-REQUEST (state.samp), defaulting to
+        # the values here
         greedy, use_top_p = sampling_flags(temperature, top_p)
-        self.samp = dict(temperature=temperature, top_k=top_k, top_p=top_p,
-                         repetition_penalty=repetition_penalty,
-                         greedy=greedy, use_top_p=use_top_p)
+        self.defaults = (float(temperature), float(top_p),
+                         float(repetition_penalty))
+        self.statics = dict(top_k=top_k, greedy=greedy, use_top_p=use_top_p)
         use_ft = _resolve_fused_talker(fused_talker, talker_params)
         self.kernel_cb0 = _resolve_kernel_cb0(use_ft)
-        self.state = init_state(
+        self.mesh = mesh   # shard lane-state over the mesh's "dp" axis
+        self.state = self._shard_state(init_state(
             talker_params, talker_cfg, lanes=lanes, kv_capacity=kv_capacity,
             trailing_len=text_bucket - 3, nothink=nothink,
-            kernel_cb0=self.kernel_cb0)
+            kernel_cb0=self.kernel_cb0))
         self._queue: list[tuple] = []
         self._next_rid = 0
         self._lane_owner: list[_Lane | None] = [None] * lanes
@@ -472,26 +500,61 @@ class ContinuousScheduler:
         self.compactions = 0
 
     def submit(self, tokens, n_tokens: int, speaker_embd, language_id: int,
-               seed: int = 0, max_frames: int | None = None) -> int:
+               seed: int = 0, max_frames: int | None = None,
+               temperature: float | None = None, top_p: float | None = None,
+               repetition_penalty: float | None = None) -> int:
         """Enqueue one request; tokens longer than the text bucket are
         rejected (pick the bucket for your corpus). max_frames is this
-        request's frame budget (<= the scheduler's admission max)."""
+        request's frame budget (<= the scheduler's admission max).
+
+        temperature/top_p/repetition_penalty override the scheduler
+        defaults PER REQUEST (carried in state.samp; one compiled program
+        serves them all). Overrides must stay within the server's compiled
+        sampling class: a greedy server (default temperature<=0) takes no
+        sampled overrides and vice versa; top_p<1 needs a server whose
+        default already engaged the top-p stage."""
         tokens = np.asarray(tokens, np.int32)
         assert tokens.shape[0] <= self.Tb, \
             f"prompt ({tokens.shape[0]}) exceeds text bucket {self.Tb}"
         budget = self.max_frames if max_frames is None else int(max_frames)
         assert 0 < budget <= self.max_frames, \
             f"max_frames {budget} outside (0, {self.max_frames}]"
+        t0, p0, r0 = self.defaults
+        t = t0 if temperature is None else float(temperature)
+        p = p0 if top_p is None else float(top_p)
+        rp = r0 if repetition_penalty is None else float(repetition_penalty)
+        assert (t <= 0.0) == self.statics["greedy"], \
+            f"temperature {t} crosses this server's greedy/sampled class"
+        assert p >= 1.0 or self.statics["use_top_p"] or \
+            self.statics["greedy"], \
+            f"top_p {p} needs a server compiled with the top-p stage"
         padded = np.zeros((self.Tb,), np.int32)
         padded[:tokens.shape[0]] = tokens
         rid = self._next_rid
         self._next_rid += 1
         self._queue.append(
             (rid, padded, int(n_tokens), np.asarray(speaker_embd),
-             int(language_id), int(seed), budget))
+             int(language_id), int(seed), budget, (t, p, rp)))
         return rid
 
     # -- internals ---------------------------------------------------------
+
+    def _shard_state(self, state: ContinuousState) -> ContinuousState:
+        """Multi-chip serving: place batch-dim state on the mesh's "dp" axis
+        (weights shard over "tp" via parallel/shardings.shard_params at the
+        caller). lanes must divide the dp axis size."""
+        if self.mesh is None:
+            return state
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def put(x):
+            if getattr(x, "ndim", 0) >= 1 and x.shape[0] == self.B:
+                spec = P("dp", *([None] * (x.ndim - 1)))
+            else:
+                spec = P()
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        return jax.tree.map(put, state)
 
     def _can_admit(self) -> bool:
         return int(self.state.n_past) + self.max_frames + self.K <= self.C
@@ -511,24 +574,26 @@ class ContinuousScheduler:
         lang = np.zeros((self.R,), np.int32)
         keys = np.zeros((self.R, 2), np.uint32)
         budgets = np.ones((self.R,), np.int32)
+        samp = np.ones((self.R, 3), np.float32)
         for r in range(n):
-            rid, t, nt, sp, lg, seed, budget = self._queue.pop(0)
+            rid, t, nt, sp, lg, seed, budget, samp_r = self._queue.pop(0)
             lane = idle[r]
             lane_idx[r] = lane
             mask[r] = True
             tokens[r], n_tok[r], spk[r], lang[r] = t, nt, sp, lg
             keys[r] = np.asarray(jax.random.PRNGKey(seed))
             budgets[r] = budget
+            samp[r] = samp_r
             self._lane_owner[lane] = _Lane(rid=rid, codes=[])
         dtype = self.tp.codec_embd.dtype
         self.state = refill(
             self.tp, self.state, jnp.asarray(lane_idx), jnp.asarray(mask),
             jnp.asarray(tokens), jnp.asarray(n_tok),
             jnp.asarray(spk, dtype), jnp.asarray(lang),
-            jnp.asarray(keys), jnp.asarray(budgets),
+            jnp.asarray(keys), jnp.asarray(budgets), jnp.asarray(samp),
             talker_cfg=self.tcfg, nothink=self.nothink,
             allow_eos=self.allow_eos, kernel_cb0=self.kernel_cb0,
-            **self.samp)
+            **self.statics)
         return True
 
     def _harvest(self, res: ChunkResult, on_chunk=None):
@@ -559,10 +624,10 @@ class ContinuousScheduler:
         """Capacity reached and all lanes idle: rewind the write column.
         Same compiled programs — only state values change."""
         assert all(o is None for o in self._lane_owner)
-        self.state = init_state(
+        self.state = self._shard_state(init_state(
             self.tp, self.tcfg, lanes=self.B, kv_capacity=self.C,
             trailing_len=self.Tb - 3, nothink=self.nothink,
-            kernel_cb0=self.kernel_cb0)
+            kernel_cb0=self.kernel_cb0))
         self.sessions += 1
 
     def _try_compact(self) -> bool:
@@ -615,7 +680,7 @@ class ContinuousScheduler:
                 cp_cfg=self.ccfg, chunk_frames=self.K,
                 fused_cp=self.fused_cp,
                 fused_talker=self.fused_talker, allow_eos=self.allow_eos,
-                **self.samp)
+                **self.statics)
             self.state = res.state
             self.chunks_run += 1
             done_np = self._harvest(res, on_chunk)

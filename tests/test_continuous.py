@@ -144,6 +144,51 @@ def test_budget_and_emit_accounting(params):
         assert (codes[:, 1:] < CCFG.vocab_size).all()
 
 
+def test_per_request_sampling_params(params):
+    """Each request carries its own temperature/top_p/repetition_penalty
+    through state.samp: results must equal fresh single-stream runs with
+    those exact values, all inside ONE compiled chunk program."""
+    tp, cp = params
+    overrides = [dict(temperature=0.7, repetition_penalty=1.0),
+                 dict(temperature=1.3, repetition_penalty=1.3),
+                 dict(temperature=0.9, top_p=0.8),
+                 dict()]
+    reqs = _requests()[:4]
+
+    sched = cont.ContinuousScheduler(
+        tp, cp, TCFG, CCFG, lanes=2, kv_capacity=28, text_bucket=16,
+        chunk_frames=2, refill_slots=2, max_frames=8, temperature=0.9,
+        top_k=50, top_p=0.95, repetition_penalty=1.05, allow_eos=False)
+    rids = [sched.submit(r["tokens"], r["n_tokens"], np.zeros((H,)),
+                         TCFG.english_language_id, seed=r["seed"],
+                         max_frames=r["budget"], **ov)
+            for r, ov in zip(reqs, overrides)]
+    results = sched.run()
+
+    for r, ov, rid in zip(reqs, overrides, rids):
+        padded = np.zeros((16,), np.int32)
+        padded[:r["n_tokens"]] = r["tokens"]
+        want = DL.generate_from_tokens(
+            tp, cp, jnp.asarray(padded), jnp.int32(r["n_tokens"]),
+            jnp.zeros((H,), jnp.float32),
+            jnp.int32(TCFG.english_language_id),
+            jax.random.PRNGKey(r["seed"]), talker_cfg=TCFG, cp_cfg=CCFG,
+            max_frames=r["budget"], kv_capacity=10 + r["budget"] + 8,
+            temperature=ov.get("temperature", 0.9), top_k=50,
+            top_p=ov.get("top_p", 0.95),
+            repetition_penalty=ov.get("repetition_penalty", 1.05),
+            allow_eos=False, greedy=False, use_top_p=True)
+        n = int(want.n_frames)
+        np.testing.assert_array_equal(results[rid],
+                                      np.asarray(want.codes[:n]))
+
+    # class-consistency guards
+    with pytest.raises(AssertionError):
+        sched.submit(reqs[0]["tokens"], reqs[0]["n_tokens"],
+                     np.zeros((H,)), TCFG.english_language_id,
+                     temperature=0.0)   # greedy override on a sampled server
+
+
 def test_continuous_fused_kernel_path_greedy(params):
     """The production path: int8 blocks + fused cp/talker kernels with the
     in-kernel cb0 epilogue and the per-lane `start` column mask (interpret
@@ -160,10 +205,20 @@ def test_continuous_fused_kernel_path_greedy(params):
             dict(tokens=(np.arange(12, dtype=np.int32) * 5) % 40 + 2,
                  n_tokens=12, budget=3, seed=8),
             dict(tokens=np.arange(10, dtype=np.int32) + 4, n_tokens=10,
-                 budget=2, seed=9)]
+                 budget=2, seed=9),
+            dict(tokens=(np.arange(13, dtype=np.int32) * 3) % 30 + 2,
+                 n_tokens=13, budget=4, seed=10),
+            dict(tokens=np.arange(12, dtype=np.int32) + 6, n_tokens=12,
+                 budget=2, seed=11),
+            dict(tokens=np.arange(11, dtype=np.int32) + 8, n_tokens=11,
+                 budget=3, seed=12),
+            dict(tokens=(np.arange(10, dtype=np.int32) * 7) % 25 + 2,
+                 n_tokens=10, budget=4, seed=13),
+            dict(tokens=np.arange(12, dtype=np.int32) + 3, n_tokens=12,
+                 budget=2, seed=14)]
 
     sched = cont.ContinuousScheduler(
-        tpq, cpq, TCFG, CCFG, lanes=2, kv_capacity=32, text_bucket=16,
+        tpq, cpq, TCFG, CCFG, lanes=2, kv_capacity=20, text_bucket=16,
         chunk_frames=2, refill_slots=2, max_frames=4, temperature=0.0,
         top_k=0, repetition_penalty=1.05, allow_eos=False,
         fused_cp=True, fused_talker=True)
@@ -172,6 +227,9 @@ def test_continuous_fused_kernel_path_greedy(params):
                          TCFG.english_language_id, seed=r["seed"],
                          max_frames=r["budget"]) for r in reqs]
     results = sched.run()
+    assert sched.compactions >= 1, (
+        "C=20 should force compaction mid-flight through the kernel loop "
+        f"(sessions={sched.sessions}, n_past={int(sched.state.n_past)})")
 
     for r, rid in zip(reqs, rids):
         padded = np.zeros((16,), np.int32)

@@ -86,6 +86,42 @@ def test_sharded_generation_matches_unsharded(params, dp, tp_size):
     np.testing.assert_array_equal(np.asarray(base.codes), np.asarray(sharded.codes))
 
 
+@pytest.mark.parametrize("dp,tp_size", [(2, 2), (4, 2)])
+def test_sharded_continuous_serving_matches_unsharded(params, dp, tp_size):
+    """Multi-chip continuous batching: the scheduler with dp-sharded lane
+    state + tp-sharded weights produces exactly the unsharded scheduler's
+    codes on the same request queue (mid-flight refills, splices, and
+    capacity handling included)."""
+    from qwen3tts_tpu.runtime.continuous import ContinuousScheduler
+
+    tp_params, cp_params = params
+    reqs = []
+    rng = np.random.default_rng(4)
+    for i, budget in enumerate([3, 5, 2, 4, 3, 2]):
+        nt = int(rng.integers(10, 15))
+        reqs.append((rng.integers(2, 90, nt).astype(np.int32), nt, budget))
+
+    def run(tps, cps, mesh):
+        sched = ContinuousScheduler(
+            tps, cps, TCFG, CCFG, lanes=max(2, dp), kv_capacity=30,
+            text_bucket=16, chunk_frames=2, refill_slots=2, max_frames=6,
+            temperature=0.0, top_k=0, repetition_penalty=1.05,
+            allow_eos=False, mesh=mesh)
+        rids = [sched.submit(t, n, np.zeros((TCFG.hidden_size,)), 2050,
+                             seed=100 + i, max_frames=b)
+                for i, (t, n, b) in enumerate(reqs)]
+        out = sched.run()
+        return [out[r] for r in rids]
+
+    base = run(tp_params, cp_params, None)
+    mesh = mesh_mod.make_mesh(dp, tp_size)
+    tps = shardings.shard_params(tp_params, shardings.talker_specs(), mesh)
+    cps = shardings.shard_params(cp_params, shardings.code_predictor_specs(), mesh)
+    got = run(tps, cps, mesh)
+    for b, g in zip(base, got):
+        np.testing.assert_array_equal(b, g)
+
+
 @pytest.mark.parametrize("quant", ["int8", "w4"])
 def test_sharded_quantized_generation_matches_unsharded(params, quant):
     """Production int8/w4 configurations must shard too (VERDICT r1 #7):

@@ -115,6 +115,9 @@ def run_static(tp, cp, tcfg, ccfg, reqs, args):
     H = tcfg.hidden_size
     useful = sum(r["budget"] for r in reqs)
     batches = _static_batches(reqs, B)
+    # static needs only one request span of cache (256-aligned), not the
+    # continuous session capacity — give it its natural (cheaper) size
+    C_static = -(-(10 + args.max_frames + 8) // 256) * 256
 
     def one_pass():
         wall = 0.0
@@ -131,7 +134,7 @@ def run_static(tp, cp, tcfg, ccfg, reqs, args):
                 jnp.zeros((B, H), tp.codec_embd.dtype),
                 jnp.full((B,), tcfg.english_language_id, jnp.int32), keys,
                 talker_cfg=tcfg, cp_cfg=ccfg, max_frames=mf,
-                kv_capacity=args.capacity, temperature=0.9, top_k=50,
+                kv_capacity=C_static, temperature=0.9, top_k=50,
                 repetition_penalty=1.05, allow_eos=False)
             jax.block_until_ready(res.codes)
             np.asarray(res.n_frames)  # force host fetch (tunnel timing rule)
