@@ -261,7 +261,7 @@ def main() -> None:
             (R, Vs))
         seeds128 = jnp.arange(R, dtype=jnp.int32).reshape(R, 1)
 
-        def _run_samp(interp):
+        def _run_samp(interp, l, s):
             return pl.pallas_call(
                 _samp_kernel,
                 out_shape=jax.ShapeDtypeStruct((R, 1), jnp.int32),
@@ -269,10 +269,17 @@ def main() -> None:
                           pl.BlockSpec(memory_space=pltpu.VMEM)],
                 out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
                 interpret=pltpu.InterpretParams() if interp else False,
-            )(lrow, seeds128)
+            )(l, s)
 
-        hw = np.asarray(_run_samp(False)).ravel()
-        ref = np.asarray(_run_samp(True)).ravel()
+        hw = np.asarray(_run_samp(False, lrow, seeds128)).ravel()
+        # interpret mode is a pure-JAX simulation — it must run on the CPU
+        # backend (the remote-TPU compile service rejects the interpret
+        # program with UNAVAILABLE after ~20 min; observed r3)
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            ref = np.asarray(_run_samp(
+                True, jax.device_put(np.asarray(lrow), cpu),
+                jax.device_put(np.asarray(seeds128), cpu))).ravel()
         n_agree = int((hw == ref).sum())
         print(f"sampler smoke: {n_agree}/{R} tokens match interpret mode, "
               f"{len(np.unique(hw))} distinct draws", file=sys.stderr)

@@ -29,7 +29,7 @@ fi
 step() {
   name=$1; shift
   echo "=== $name ==="
-  /usr/bin/time -v timeout 2700 "$@" > "$OUT/$name.out" 2> "$OUT/$name.err"
+  timeout 2700 "$@" > "$OUT/$name.out" 2> "$OUT/$name.err"
   rc=$?
   tail -2 "$OUT/$name.out"
   echo "rc=$rc (full logs: $OUT/$name.{out,err})"
