@@ -45,22 +45,33 @@ import functools
 
 # one vmapped vocoder dispatch holds at most this many lanes: the conv
 # stack's activations scale with B x frames and a 64-lane 256-frame program
-# fails to compile (resource limits); 16 lanes compiles and keeps the
-# dispatch count at B/16 instead of B
-_VOCODE_MAX_LANES = 16
+# failed to compile at f32 precision (resource limits); 16 lanes compiles and
+# keeps the dispatch count at B/16 instead of B. At bf16 precision larger
+# groups may fit — QWEN3TTS_VOCODE_LANES overrides (read at import time).
+_VOCODE_MAX_LANES = int(os.environ.get("QWEN3TTS_VOCODE_LANES", "16"))
+
+
+def _vocode_precision() -> str:
+    """Matmul precision for the batched (vmapped) vocoder — TRACE-time gate.
+
+    r2 pinned f32 because vmapped default-precision output diverges from the
+    *unbatched* program (Snake amplifies bf16-pass reassociation: corr 0.99 /
+    max|d| 1.6 on synthetic weights). r3 hardware showed that pin is 80-90%
+    of batched-serving e2e wall (vocode ~8-16 s vs decode 2.1 s at B=64) and
+    the framing was wrong: single-stream serving itself runs at DEFAULT
+    precision, so its audio is equally far from the f32 truth — the bar is
+    distance-to-truth, not batched==unbatched bit-match. The tier is chosen
+    from tools/ab_vocode_precision.py measurements (quality vs f32 truth +
+    wall); override with QWEN3TTS_VOCODE_PRECISION={float32,bfloat16_3x,
+    default}."""
+    return os.environ.get("QWEN3TTS_VOCODE_PRECISION", "float32")
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _vocode_batch(vparams, cfg, codes, n_frames):
     """Vmapped vocoder over a shared frame bucket: codes [G, Fb, 16],
-    n_frames [G] -> audio [G, Fb * samples_per_frame].
-
-    Matmul precision is pinned to f32: under vmap the default (bf16-pass)
-    TPU dots reassociate differently than the single-utterance program, and
-    the Snake stages amplify that into audible waveform divergence (measured:
-    batched-vs-single corr 0.99 / max|d| 1.6 at default, 1.000000 / 1e-4 at
-    f32). The vocoder is a tiny fraction of batched serving wall time."""
-    with jax.default_matmul_precision("float32"):
+    n_frames [G] -> audio [G, Fb * samples_per_frame]."""
+    with jax.default_matmul_precision(_vocode_precision()):
         return jax.vmap(
             lambda c, n: vocoder_model.vocoder_forward(vparams, cfg, c, n)
         )(codes, n_frames)

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import functools
 import os as _os
+import time as _time
 from typing import NamedTuple
 
 import jax
@@ -122,7 +123,7 @@ def init_state(
 
 @functools.partial(jax.jit, static_argnames=(
     "talker_cfg", "nothink", "top_k", "allow_eos", "kernel_cb0",
-    "greedy", "use_top_p"))
+    "greedy", "use_top_p"), donate_argnames=("state",))
 def refill(
     talker_params,
     state: ContinuousState,
@@ -234,7 +235,8 @@ def refill(
         trailing=trailing, keys=st_keys, done=done)
 
 
-@functools.partial(jax.jit, static_argnames=("talker_cfg",))
+@functools.partial(jax.jit, static_argnames=("talker_cfg",),
+                   donate_argnames=("state",))
 def compact(state: ContinuousState, shift: jnp.ndarray, *,
             talker_cfg: TalkerConfig) -> ContinuousState:
     """Reclaim cache columns below every active lane's start: roll the whole
@@ -251,21 +253,32 @@ def compact(state: ContinuousState, shift: jnp.ndarray, *,
     starts clamp at 0.
 
     Cost: ~1.5 full-cache HBM passes (roll + K rewrite) per call — ~20 ms
-    at B=64/C=1024 on v5e, reclaiming hundreds of columns."""
+    at B=64/C=1024 on v5e, reclaiming hundreds of columns. The pass is
+    layer-scanned: a whole-cache roll + f32 K materialization needs ~2x the
+    cache in program temps (14 GB at B=64/C=1024 — compile-time HBM OOM on
+    a 16 GB chip); per-layer temps are 1/L of that and the donated cache
+    updates in place."""
     from ..ops.rope import rope_angles
 
     kv = state.kv                      # [B, L, 2, Hkv, C, D]
-    D = kv.shape[5]
-    rolled = jnp.roll(kv, -shift, axis=4)
+    L, D = kv.shape[1], kv.shape[5]
+    half = D // 2
     cos, sin = rope_angles(-jnp.asarray(shift, jnp.int32), D,
                            talker_cfg.rope_theta)      # [D/2] f32
-    k = rolled[:, :, 0].astype(jnp.float32)            # [B, L, Hkv, C, D]
-    half = D // 2
-    k1, k2 = k[..., :half], k[..., half:]
-    k_rot = jnp.concatenate(
-        [k1 * cos - k2 * sin, k1 * sin + k2 * cos], axis=-1).astype(kv.dtype)
+
+    def body(l, kvc):
+        lane = lax.dynamic_slice_in_dim(kvc, l, 1, axis=1)  # [B,1,2,Hkv,C,D]
+        rolled = jnp.roll(lane, -shift, axis=4)
+        k = rolled[:, :, 0].astype(jnp.float32)             # [B,1,Hkv,C,D]
+        k1, k2 = k[..., :half], k[..., half:]
+        k_rot = jnp.concatenate(
+            [k1 * cos - k2 * sin, k1 * sin + k2 * cos],
+            axis=-1).astype(kvc.dtype)
+        return lax.dynamic_update_slice_in_dim(
+            kvc, rolled.at[:, :, 0].set(k_rot), l, axis=1)
+
     return state._replace(
-        kv=rolled.at[:, :, 0].set(k_rot),
+        kv=lax.fori_loop(0, L, body, kv),
         n_past=state.n_past - shift,
         start=jnp.maximum(state.start - shift, 0))
 
@@ -279,7 +292,8 @@ class ChunkResult(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=(
     "talker_cfg", "cp_cfg", "chunk_frames", "top_k",
-    "fused_cp", "fused_talker", "allow_eos", "greedy", "use_top_p"))
+    "fused_cp", "fused_talker", "allow_eos", "greedy", "use_top_p"),
+    donate_argnames=("state",))
 def decode_chunk(
     talker_params,
     cp_params,
@@ -349,6 +363,13 @@ def decode_chunk(
         is_eos = jnp.logical_and(cb0 == talker_cfg.codec_eos_id, allow_eos)
         done = jnp.logical_or(s.done, is_eos)
         emit = ~done
+        # Done lanes must not pin the kernel's min-start DMA skip at their
+        # stale splice points (measured: a deep shared write column streamed
+        # whole made chunks 3x slower than static batching). Give them an
+        # empty history window — the kernel folds the current step's K/V in
+        # after the chunk loop, so attention stays well-formed; active
+        # lanes' masks are untouched and the next refill rewrites start.
+        start_eff = jnp.where(done, s.n_past, s.start)
 
         onehot_cb0 = (cb0[:, None] == jnp.arange(Vc)[None, :])
         cb0_embd = lax.dot_general(
@@ -402,7 +423,7 @@ def decode_chunk(
                 talker_params.blocks, talker_cfg, step_embd, s.n_past, s.kv,
                 output_norm=talker_params.output_norm,
                 codec_head=talker_params.codec_head,
-                seen=seen, seeds=seeds_cb0, start=s.start,
+                seen=seen, seeds=seeds_cb0, start=start_eff,
                 temperature=temp_l, top_p=topp_l,
                 repetition_penalty=pen_l, top_k=top_k,
                 suppress_start=suppress_start, eos_id=eos_for_mask,
@@ -413,7 +434,7 @@ def decode_chunk(
             hidden_f32, logits, kv = fused_talker_step_batched(
                 talker_params.blocks, talker_cfg, step_embd, s.n_past, s.kv,
                 output_norm=talker_params.output_norm,
-                codec_head=talker_params.codec_head, start=s.start)
+                codec_head=talker_params.codec_head, start=start_eff)
             hidden = hidden_f32.astype(dtype)
             cb0_next = s.cb0_next
         else:
@@ -421,7 +442,7 @@ def decode_chunk(
                 lambda e, kvi, st: talker_model.talker_step(
                     talker_params, talker_cfg, e, s.n_past, kvi,
                     strategy="carried", start=st)
-            )(step_embd, s.kv, s.start)
+            )(step_embd, s.kv, start_eff)
             cb0_next = s.cb0_next
 
         frame = s.frame + emit.astype(jnp.int32)
@@ -465,7 +486,8 @@ class ContinuousScheduler:
                  top_k: int = 50, top_p: float = 1.0,
                  repetition_penalty: float = 1.05, nothink: bool = False,
                  allow_eos: bool = True, fused_cp="auto",
-                 fused_talker="auto", mesh=None):
+                 fused_talker="auto", mesh=None,
+                 compact_threshold: int = 128, timing: bool = False):
         P = prefill_window_len(nothink)
         assert kv_capacity >= P + max_frames + chunk_frames, \
             "kv_capacity cannot admit even one request"
@@ -474,6 +496,7 @@ class ContinuousScheduler:
         self.B, self.C = lanes, kv_capacity
         self.Tb, self.K, self.R = text_bucket, chunk_frames, refill_slots
         self.max_frames = max_frames
+        self.compact_threshold = int(compact_threshold)
         self.nothink, self.allow_eos = nothink, allow_eos
         self.fused_cp, self.fused_talker = fused_cp, fused_talker
         # greedy/use_top_p/top_k are per-SERVER statics (compiled program
@@ -498,6 +521,18 @@ class ContinuousScheduler:
         self.chunks_run = 0
         self.sessions = 0
         self.compactions = 0
+        self.refills = 0
+        # opt-in phase decomposition: forces a device sync after every
+        # program (extra tunnel round-trips) — diagnosis only, not for
+        # headline numbers
+        self.timing = bool(timing)
+        self.stats = {k: 0.0 for k in
+                      ("refill_s", "decode_s", "compact_s", "harvest_s")}
+
+    def _tock(self, key: str, t0: float) -> None:
+        if self.timing:
+            jax.block_until_ready(self.state.n_past)
+            self.stats[key] += _time.perf_counter() - t0
 
     def submit(self, tokens, n_tokens: int, speaker_embd, language_id: int,
                seed: int = 0, max_frames: int | None = None,
@@ -586,6 +621,7 @@ class ContinuousScheduler:
             samp[r] = samp_r
             self._lane_owner[lane] = _Lane(rid=rid, codes=[])
         dtype = self.tp.codec_embd.dtype
+        t0 = _time.perf_counter()
         self.state = refill(
             self.tp, self.state, jnp.asarray(lane_idx), jnp.asarray(mask),
             jnp.asarray(tokens), jnp.asarray(n_tok),
@@ -594,6 +630,8 @@ class ContinuousScheduler:
             talker_cfg=self.tcfg, nothink=self.nothink,
             allow_eos=self.allow_eos, kernel_cb0=self.kernel_cb0,
             **self.statics)
+        self.refills += 1
+        self._tock("refill_s", t0)
         return True
 
     def _harvest(self, res: ChunkResult, on_chunk=None):
@@ -624,29 +662,40 @@ class ContinuousScheduler:
         """Capacity reached and all lanes idle: rewind the write column.
         Same compiled programs — only state values change."""
         assert all(o is None for o in self._lane_owner)
+        self.state = None   # free the old cache BEFORE allocating the new
         self.state = self._shard_state(init_state(
             self.tp, self.tcfg, lanes=self.B, kv_capacity=self.C,
             trailing_len=self.Tb - 3, nothink=self.nothink,
             kernel_cb0=self.kernel_cb0))
         self.sessions += 1
 
-    def _try_compact(self) -> bool:
-        """Capacity pressure with lanes still running: reclaim the columns
-        below every ACTIVE lane's start (runtime/continuous.compact) when
-        that reclaims enough to admit again. Idle lanes don't constrain the
-        shift (their stale windows are dead)."""
+    def _try_compact(self, opportunistic: bool = False) -> bool:
+        """Reclaim the columns below every ACTIVE lane's start
+        (runtime/continuous.compact). Two triggers: capacity pressure (must
+        reclaim enough to admit again) and OPPORTUNISTIC (shift >=
+        compact_threshold) — the talker kernel's KV DMA streams
+        [min(start), n_past) every step (~7.3 MB/column/frame-set at B=64),
+        so keeping the window shallow pays for the ~1.5 cache-pass
+        compaction within a chunk or two. Idle lanes don't constrain the
+        shift (their stale windows are dead; decode_chunk masks them out of
+        the kernel's min-start too)."""
         active_starts = [int(np.asarray(self.state.start)[b])
                          for b in range(self.B)
                          if self._lane_owner[b] is not None]
         if not active_starts:
             return False
         smin = min(active_starts)
-        needed = int(self.state.n_past) + self.max_frames + self.K - self.C
+        if opportunistic:
+            needed = self.compact_threshold
+        else:
+            needed = int(self.state.n_past) + self.max_frames + self.K - self.C
         if smin <= 0 or smin < needed:
             return False
+        t0 = _time.perf_counter()
         self.state = compact(self.state, jnp.int32(smin),
                              talker_cfg=self.tcfg)
         self.compactions += 1
+        self._tock("compact_s", t0)
         return True
 
     def run(self, max_chunks: int | None = None,
@@ -670,11 +719,19 @@ class ContinuousScheduler:
                     done_np = np.asarray(self.state.done)
                 else:
                     self._try_compact()
-            self._do_refill(done_np)
+            elif active:
+                self._try_compact(opportunistic=True)
+            # refill until lanes are full, the queue drains, or capacity
+            # blocks: one call admits at most R requests, and a chunk can
+            # finish far more than R lanes — a single call per boundary
+            # starves occupancy (measured 36% at B=64 on a ~120-frame mix)
+            while self._do_refill(done_np):
+                pass
             if not any(o is not None for o in self._lane_owner):
                 # queue present but nothing admitted (capacity): drain path
                 # above will reset next loop
                 continue
+            t0 = _time.perf_counter()
             res = decode_chunk(
                 self.tp, self.cp, self.state, talker_cfg=self.tcfg,
                 cp_cfg=self.ccfg, chunk_frames=self.K,
@@ -683,7 +740,10 @@ class ContinuousScheduler:
                 **self.statics)
             self.state = res.state
             self.chunks_run += 1
+            self._tock("decode_s", t0)
+            t0 = _time.perf_counter()
             done_np = self._harvest(res, on_chunk)
+            self._tock("harvest_s", t0)
             if max_chunks is not None and self.chunks_run >= max_chunks:
                 break
         return self.results

@@ -67,7 +67,8 @@ def run_continuous(tp, cp, tcfg, ccfg, reqs, args):
             text_bucket=args.text_bucket, chunk_frames=args.chunk,
             refill_slots=args.refill_slots, max_frames=args.max_frames,
             temperature=0.9, top_k=50, repetition_penalty=1.05,
-            allow_eos=False)
+            allow_eos=False, compact_threshold=args.compact_threshold,
+            timing=args.timing)
         for r in reqs:
             sched.submit(r["tokens"], r["n_tokens"],
                          np.zeros((H,), np.float32),
@@ -83,11 +84,18 @@ def run_continuous(tp, cp, tcfg, ccfg, reqs, args):
     for _ in range(args.passes - 1):   # warm the two compiled programs
         one_pass()
     wall, sched = one_pass()
-    return dict(wall_s=round(wall, 3),
-                useful_frames=useful,
-                frames_per_s=round(useful / wall, 1),
-                chunks=sched.chunks_run, sessions=sched.sessions,
-                compactions=sched.compactions)
+    res = dict(wall_s=round(wall, 3),
+               useful_frames=useful,
+               frames_per_s=round(useful / wall, 1),
+               chunks=sched.chunks_run, sessions=sched.sessions,
+               compactions=sched.compactions, refills=sched.refills,
+               occupancy=round(
+                   useful / (sched.chunks_run * args.chunk * args.lanes), 3))
+    if args.timing:
+        res["phases"] = {k: round(v, 3) for k, v in sched.stats.items()}
+        res["decode_ms_per_frame_set"] = round(
+            1e3 * sched.stats["decode_s"] / (sched.chunks_run * args.chunk), 2)
+    return res
 
 
 def _static_batches(reqs, B):
@@ -162,6 +170,10 @@ def main() -> int:
     ap.add_argument("--passes", type=int, default=2,
                     help="timed pass is the last; earlier passes warm "
                          "compiles (persistent cache makes reruns cheap)")
+    ap.add_argument("--compact-threshold", type=int, default=128)
+    ap.add_argument("--timing", action="store_true",
+                    help="per-phase wall decomposition (adds a device sync "
+                         "after every program — diagnosis, not headline)")
     ap.add_argument("--static-only", action="store_true")
     ap.add_argument("--continuous-only", action="store_true")
     ap.add_argument("--tiny", action="store_true",
