@@ -41,16 +41,18 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_FRAMES_PER_S = 3.2  # README.md:276-295 (92-frame run, Apple silicon)
 
 
-def _regression_verdict(result: dict) -> dict | None:
-    """Diff this run against the most recent prior BENCH_r*.json whose parsed
-    record succeeded on the same quant tier. PASS/REGRESS per metric with the
-    known ±30% tunnel wall-time band (CLAUDE.md: same code has measured ±30%
-    run-to-run over the tunnel; only >30% worse is called a regression).
-    Purely informational — never fails the bench."""
+_GATED_METRICS = (("value", True), ("frames_per_s", True),
+                  ("gen_ms_per_frame", False),
+                  ("ttfa_p50_ms", False), ("e2e_ms", False))
+
+
+def _prior_records(result: dict) -> list[tuple[str, dict]]:
+    """All green prior BENCH_r*.json records on the same quant tier,
+    newest first."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    prior = None
+    out = []
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
                        reverse=True):
         try:
@@ -60,21 +62,50 @@ def _regression_verdict(result: dict) -> dict | None:
             continue
         p = rec.get("parsed") or {}
         if rec.get("rc") == 0 and p.get("quant") == result.get("quant"):
-            prior = (os.path.basename(path), p)
-            break
-    if prior is None:
+            out.append((os.path.basename(path), p))
+    return out
+
+
+def _regression_verdict(result: dict) -> dict | None:
+    """Diff this run against the most recent prior BENCH_r*.json whose parsed
+    record succeeded on the same quant tier. PASS/REGRESS per metric with the
+    known ±30% tunnel wall-time band (CLAUDE.md: same code has measured ±30%
+    run-to-run over the tunnel; only >30% worse is called a regression).
+    Purely informational — never fails the bench."""
+    priors = _prior_records(result)
+    if not priors:
         return None
-    name, p = prior
+    name, p = priors[0]
     comp = {"prior_record": name}
-    for k, higher_better in (("value", True), ("frames_per_s", True),
-                             ("gen_ms_per_frame", False),
-                             ("ttfa_p50_ms", False), ("e2e_ms", False)):
+    for k, higher_better in _GATED_METRICS:
         if k in p and p[k] and k in result:
             delta = (result[k] - p[k]) / p[k]
             worse = -delta if higher_better else delta
             comp[k] = {"prior": p[k], "now": result[k],
                        "delta_pct": round(100 * delta, 1),
                        "verdict": "REGRESS" if worse > 0.30 else "PASS"}
+    return comp
+
+
+def _best_ever_verdict(result: dict) -> dict | None:
+    """Diff this run against the BEST recorded value per metric across ALL
+    green prior records on the same quant tier — catches slow cumulative
+    drift that successive vs_prior diffs (each inside the ±30% tunnel band)
+    would individually pass. Same 30% band; informational only."""
+    priors = _prior_records(result)
+    if not priors:
+        return None
+    comp = {"records_considered": [n for n, _ in priors]}
+    for k, higher_better in _GATED_METRICS:
+        vals = [(p[k], n) for n, p in priors if p.get(k)]
+        if not vals or k not in result:
+            continue
+        best, src = (max if higher_better else min)(vals)
+        delta = (result[k] - best) / best
+        worse = -delta if higher_better else delta
+        comp[k] = {"best": best, "best_record": src, "now": result[k],
+                   "delta_pct": round(100 * delta, 1),
+                   "verdict": "REGRESS" if worse > 0.30 else "PASS"}
     return comp
 
 
@@ -468,6 +499,9 @@ def main() -> None:
     vs = _regression_verdict(result)
     if vs is not None:
         result["vs_prior"] = vs
+    vb = _best_ever_verdict(result)
+    if vb is not None:
+        result["vs_best"] = vb
     print(json.dumps(result))
 
 

@@ -19,6 +19,15 @@ magnitudes <= 127 are exact in bf16).
 
 The reference keeps its cache in F16 with no quantized option
 (src/tts_transformer.cpp:714-724); this tier is TPU-side headroom.
+
+Lane limit (CLOSED-WON'T-FIX, r3 hardware): the tier is B<=64-only. At
+B=128 the v3 batched talker kernel's scoped-VMEM footprint — per-lane s8
+slab windows PLUS the f32 scale planes, which stay full-width when the
+slabs shrink — exceeds the Mosaic budget and the program fails to compile.
+Chunking the scale planes was considered and rejected: B=128's serving
+route is bf16 KV (the chunked-cp + VMEM-scaled-slab path, 8,624 f/s), and
+this tier's value is memory at B<=64, where it fits as-is.
+pipeline.resolve_kv_quant enforces the cap instead of letting Mosaic die.
 """
 
 from __future__ import annotations

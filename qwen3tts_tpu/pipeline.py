@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys
 from typing import Callable, Optional, Union
 
 import jax
@@ -62,9 +63,11 @@ def _vocode_precision() -> str:
     precision, so its audio is equally far from the f32 truth — the bar is
     distance-to-truth, not batched==unbatched bit-match. The tier is chosen
     from tools/ab_vocode_precision.py measurements (quality vs f32 truth +
-    wall); override with QWEN3TTS_VOCODE_PRECISION={float32,bfloat16_3x,
-    default}."""
-    return os.environ.get("QWEN3TTS_VOCODE_PRECISION", "float32")
+    wall); override with QWEN3TTS_VOCODE_PRECISION={float32,
+    BF16_BF16_F32_X3, default}. 'bfloat16_3x' is accepted as an alias for
+    BF16_BF16_F32_X3 (the name JAX's precision parser actually takes)."""
+    p = os.environ.get("QWEN3TTS_VOCODE_PRECISION", "float32")
+    return "BF16_BF16_F32_X3" if p == "bfloat16_3x" else p
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -99,7 +102,8 @@ def vocode_batched(vparams, cfg, codes, n_frames):
     return np.concatenate(outs) if len(outs) > 1 else outs[0]
 
 
-def resolve_kv_quant(rt, *, kv_capacity: int = 0, batched: bool = False) -> str:
+def resolve_kv_quant(rt, *, kv_capacity: int = 0, batched: bool = False,
+                     lanes: int = 0) -> str:
     """Resolve RuntimeConfig.kv_quant ("auto" policy + env override) to the
     decode loop's static kv_quant arg.
 
@@ -111,15 +115,32 @@ def resolve_kv_quant(rt, *, kv_capacity: int = 0, batched: bool = False) -> str:
     at 1.944 (tools/smoke_kv_int8.py, CLAUDE.md). int8 stays a correct,
     opt-in MEMORY tier (halves cache footprint; QWEN3TTS_KV_INT8=1 or
     RuntimeConfig.kv_quant="int8"). Requires quantized weights (the fused
-    talker path)."""
+    talker path).
+
+    CLOSED-WON'T-FIX: int8 KV is a B<=64 tier. At B=128 the v3 batched
+    talker kernel's scoped-VMEM allocation (per-lane s8 slab windows + the
+    f32 scale planes, which don't shrink with the slabs) exceeds the Mosaic
+    budget and fails compile (r3 hardware session, docs/performance.md).
+    B=128 doesn't need the halving anyway — its route is bf16 KV with the
+    chunked-cp + VMEM-scaled slab path (8,624 f/s record), and int8 KV is a
+    memory tier, not a speed tier. Requests for int8 KV above 64 lanes
+    resolve to "none" here rather than dying in the Mosaic compiler."""
+    def _gate(tier: str) -> str:
+        if tier == "int8" and batched and lanes > 64:
+            print(f"qwen3tts: int8 KV requested at {lanes} lanes — "
+                  "capped at 64 (Mosaic scoped-VMEM, see resolve_kv_quant); "
+                  "using bf16 KV", file=sys.stderr)
+            return "none"
+        return tier
+
     env = os.environ.get("QWEN3TTS_KV_INT8")
     if env in ("0", "false", "off"):
         return "none"
     if env in ("1", "true", "on"):
-        return "int8" if rt.quant in ("int8", "q4", "q4pure") else "none"
+        return _gate("int8" if rt.quant in ("int8", "q4", "q4pure") else "none")
     mode = getattr(rt, "kv_quant", "auto")
     if mode != "auto":
-        return mode
+        return _gate(mode)
     return "none"
 
 
@@ -569,7 +590,7 @@ class Qwen3TTS:
             temperature=params.temperature, top_k=params.top_k, top_p=params.top_p,
             repetition_penalty=params.repetition_penalty,
             nothink=params.language_id < 0,
-            kv_quant=resolve_kv_quant(rt, batched=True))
+            kv_quant=resolve_kv_quant(rt, batched=True, lanes=B))
         t_gen = now_ms() - t0
         all_codes = np.asarray(gen.codes)
         all_n = np.asarray(gen.n_frames)
@@ -622,7 +643,8 @@ class Qwen3TTS:
                          speakers=None, *, lanes: Optional[int] = None,
                          kv_capacity: Optional[int] = None,
                          chunk_frames: int = 32, refill_slots: int = 8,
-                         on_audio=None, stream_history: int = 16):
+                         on_audio=None, stream_history: int = 16,
+                         max_audio_tokens_per_request=None):
         """Continuous-batching synthesis of a request queue: finished lanes
         are refilled mid-flight (runtime/continuous.py), so a mix of
         unequal-length utterances keeps every lane busy instead of idling
@@ -641,7 +663,12 @@ class Qwen3TTS:
         frames, seam semantics of stream_decode_chunks) are vocoded in ONE
         fixed-shape vmapped dispatch. Per-request latency becomes ~one
         chunk wall (chunk_frames trades TTFA against dispatch overhead);
-        the returned TTSResults carry the streamed audio concatenated."""
+        the returned TTSResults carry the streamed audio concatenated.
+
+        max_audio_tokens_per_request, if given, is a per-request frame
+        budget (list of ints, len(texts)) overriding params.max_audio_tokens
+        — the knob a serving front end uses for per-request length limits
+        (the scheduler already carries per-lane budgets)."""
         rt = self.config.runtime
         tcfg, ccfg = self.config.talker, self.config.code_predictor
         vcfg = self.config.vocoder
@@ -678,11 +705,14 @@ class Qwen3TTS:
             nothink=params.language_id < 0)
         t0 = now_ms()
         rids = []
+        budgets = max_audio_tokens_per_request
         for i, (p_i, n_i) in enumerate(fitted):
+            budget = (params.max_audio_tokens if budgets is None
+                      else int(budgets[i]))
             rids.append(sched.submit(
                 p_i, n_i, np.asarray(speakers[i], np.float32),
                 params.language_id, seed=params.seed + i,
-                max_frames=min(params.max_audio_tokens, max_frames)))
+                max_frames=min(budget, max_frames)))
         rid_to_idx = {rid: i for i, rid in enumerate(rids)}
 
         on_chunk = None
@@ -734,7 +764,9 @@ class Qwen3TTS:
 
         all_codes = [out[rid] for rid in rids]
         n_clamped = np.array(
-            [min(c.shape[0], params.max_audio_tokens) for c in all_codes],
+            [min(c.shape[0],
+                 params.max_audio_tokens if budgets is None else int(budgets[i]))
+             for i, c in enumerate(all_codes)],
             np.int64)
 
         if self.vocoder_params is None:

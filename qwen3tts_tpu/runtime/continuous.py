@@ -718,7 +718,11 @@ class ContinuousScheduler:
                     self._reset_session()
                     done_np = np.asarray(self.state.done)
                 else:
-                    self._try_compact()
+                    # pressure compaction must reclaim enough to admit; when
+                    # it can't, still take any opportunistic-threshold shift —
+                    # the deep KV DMA window costs every subsequent step even
+                    # while admission stays blocked
+                    self._try_compact() or self._try_compact(opportunistic=True)
             elif active:
                 self._try_compact(opportunistic=True)
             # refill until lanes are full, the queue drains, or capacity

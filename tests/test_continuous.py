@@ -59,12 +59,14 @@ def _fresh(tp, cp, req, *, temperature, top_k, Tb=16):
 
 
 def _run_continuous(tp, cp, reqs, *, temperature, top_k, lanes=2,
-                    kv_capacity=28, chunk_frames=2, refill_slots=2):
+                    kv_capacity=28, chunk_frames=2, refill_slots=2,
+                    compact_threshold=128):
     sched = cont.ContinuousScheduler(
         tp, cp, TCFG, CCFG, lanes=lanes, kv_capacity=kv_capacity,
         text_bucket=16, chunk_frames=chunk_frames,
         refill_slots=refill_slots, max_frames=8, temperature=temperature,
-        top_k=top_k, repetition_penalty=1.05, allow_eos=False)
+        top_k=top_k, repetition_penalty=1.05, allow_eos=False,
+        compact_threshold=compact_threshold)
     rids = [sched.submit(r["tokens"], r["n_tokens"], np.zeros((H,)),
                          TCFG.english_language_id, seed=r["seed"],
                          max_frames=r["budget"]) for r in reqs]
@@ -100,6 +102,28 @@ def test_compaction_is_exact(params):
     assert sched.compactions >= 1, (
         f"expected compactions (sessions={sched.sessions}, "
         f"n_past={int(sched.state.n_past)})")
+    for r, codes in zip(reqs, got):
+        want = _fresh(tp, cp, r, temperature=0.0, top_k=0)
+        np.testing.assert_array_equal(codes, want)
+
+
+def test_opportunistic_compaction_is_exact(params):
+    """The OPPORTUNISTIC trigger (shift >= compact_threshold, no capacity
+    pressure): with a threshold far below capacity, compactions must fire
+    during the normal refill loop — not only on the pressure path — and
+    every request must still match its fresh run exactly. Default test
+    capacities (28-32) never reach the default threshold of 128, so this is
+    the only coverage of the opportunistic trigger + refill interplay."""
+    tp, cp = params
+    reqs = _requests()
+    sched, got = _run_continuous(tp, cp, reqs, temperature=0.0, top_k=0,
+                                 kv_capacity=64, compact_threshold=4)
+    # capacity 64 is roomy for this mix: every compaction here must be
+    # opportunistic (pressure needs n_past + max_frames + K > C)
+    assert sched.compactions >= 1, (
+        f"opportunistic trigger never fired (threshold=4, "
+        f"n_past={int(sched.state.n_past)}, sessions={sched.sessions})")
+    assert sched.sessions == 0, "capacity 64 should never need a reset"
     for r, codes in zip(reqs, got):
         want = _fresh(tp, cp, r, temperature=0.0, top_k=0)
         np.testing.assert_array_equal(codes, want)

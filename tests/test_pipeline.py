@@ -1,5 +1,6 @@
 """End-to-end pipeline + tokenizer + WAV + CLI smoke tests (tiny config)."""
 
+import dataclasses
 import os
 
 import numpy as np
@@ -170,6 +171,25 @@ def test_synthesize_queue_continuous(tts):
         assert len(r.audio) == r.n_frames * 1920
         np.testing.assert_allclose(r.audio, single.audio,
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_synthesize_queue_per_request_budgets(tts):
+    """max_audio_tokens_per_request gives each request its own frame
+    budget (the serving front-end length-limit knob); each result's codes
+    must equal a fresh synthesize() run at that budget."""
+    from qwen3tts_tpu.config import SamplingConfig
+    params = SamplingConfig(temperature=0.0, top_k=0, max_audio_tokens=8)
+    texts = ["Hello.", "Hi there.", "Good day."]
+    budgets = [3, 6, 4]
+    results = tts.synthesize_queue(texts, params, lanes=2, chunk_frames=2,
+                                   refill_slots=2,
+                                   max_audio_tokens_per_request=budgets)
+    assert all(r.success for r in results), [r.error_msg for r in results]
+    for t, b, r in zip(texts, budgets, results):
+        assert r.n_frames == b
+        single = tts.synthesize(t, dataclasses.replace(
+            params, max_audio_tokens=b))
+        np.testing.assert_array_equal(r.codes, single.codes)
 
 
 def test_synthesize_queue_streaming_audio(tts):

@@ -16,8 +16,12 @@ fraction" as assumed when r2 pinned it. This measures, for each precision in
            min of 3 reps.
 
 Decision rule: pick the fastest tier whose rel-RMS vs truth is <= the
-unbatched-default tier's rel-RMS (i.e. batched audio no further from truth
-than single-stream audio already is).
+unbatched-default tier's rel-RMS * 1.25 (i.e. batched audio no further from
+truth than single-stream audio already is, with 25% slack because the
+distance is itself chaotic-amplification noise — vmapped-f32 vs unbatched-f32
+already shows rel-RMS 0.23 on CPU, so equality at the boundary is a coin
+flip, not a quality signal). The strict no-slack pick is emitted alongside
+(`pick_strict`) so the decision is auditable either way.
 
 Usage: python tools/ab_vocode_precision.py [--frames 256] [--reps 3]
 """
@@ -114,16 +118,24 @@ def main() -> int:
         }
         print(json.dumps({p: out["tiers"][p]}), flush=True)
 
-    # decision: fastest tier whose vmapped rel_rms <= unbatched-default rel_rms
+    # decision: fastest tier whose vmapped rel_rms <= unbatched-default
+    # rel_rms * 1.25 (slack documented in the module docstring); the strict
+    # no-slack pick is emitted too so the call is auditable.
     bar = out["tiers"]["default"]["unbatched_vs_truth"]["rel_rms"]
-    ok = [p for p in PRECISIONS
-          if out["tiers"][p]["vmapped_vs_truth"]["rel_rms"] <= bar * 1.25]
-    pick = min(ok, key=lambda p: out["tiers"][p]["wall_s_64lanes"]) if ok else "float32"
+    def _pick(slack):
+        ok = [p for p in PRECISIONS
+              if out["tiers"][p]["vmapped_vs_truth"]["rel_rms"] <= bar * slack]
+        return (min(ok, key=lambda p: out["tiers"][p]["wall_s_64lanes"])
+                if ok else "float32")
+    pick, pick_strict = _pick(1.25), _pick(1.0)
     out["quality_bar_rel_rms"] = bar
+    out["quality_bar_slack"] = 1.25
     out["pick"] = pick
-    print(json.dumps({"summary": {"quality_bar_rel_rms": bar, "pick": pick,
-                                  "walls": {p: out["tiers"][p]["wall_s_64lanes"]
-                                            for p in PRECISIONS}}}))
+    out["pick_strict"] = pick_strict
+    print(json.dumps({"summary": {
+        "quality_bar_rel_rms": bar, "quality_bar_slack": 1.25,
+        "pick": pick, "pick_strict": pick_strict,
+        "walls": {p: out["tiers"][p]["wall_s_64lanes"] for p in PRECISIONS}}}))
     return 0
 
 
