@@ -70,19 +70,54 @@ def _vocode_precision() -> str:
     return "BF16_BF16_F32_X3" if p == "bfloat16_3x" else p
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _vocode_batch(vparams, cfg, codes, n_frames):
-    """Vmapped vocoder over a shared frame bucket: codes [G, Fb, 16],
-    n_frames [G] -> audio [G, Fb * samples_per_frame]."""
+# Lane mapping for the batched vocoder: "laxmap" (default) runs the
+# UNBATCHED per-lane program sequentially inside ONE dispatch via
+# jax.lax.map — r4 hardware measured it ~12% faster than vmap (98.9 vs
+# 111.8 ms/lane at 16 lanes x 256 f) AND it makes batched output BIT-EXACT
+# with single-stream vocoding (same compiled body per lane), retiring the
+# vmap-reassociation divergence entirely. "vmap" keeps the r2/r3 behavior.
+_VOCODE_MAP = os.environ.get("QWEN3TTS_VOCODE_MAP", "laxmap")
+
+# Fetch the batched waveform as device-side int16 PCM instead of f32:
+# the remote-TPU tunnel moves ~38-44 MB/s, so the full B=64 x 256-frame
+# fetch costs 3.28 s at f32 vs 1.44 s at int16 (r4 hardware) — and the WAV
+# writer quantizes to PCM16 anyway, so the 3e-5 roundtrip error never
+# reaches the user. QWEN3TTS_FETCH_PCM16=0 restores f32 fetches.
+_FETCH_PCM16 = os.environ.get("QWEN3TTS_FETCH_PCM16", "1") not in (
+    "0", "false", "off")
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "pcm16"))
+def _vocode_batch(vparams, cfg, codes, n_frames, pcm16=False):
+    """Batched vocoder over a shared frame bucket: codes [G, Fb, 16],
+    n_frames [G] -> audio [G, Fb * samples_per_frame] (f32, or int16 PCM
+    when pcm16 — halves the host-fetch bytes)."""
     with jax.default_matmul_precision(_vocode_precision()):
-        return jax.vmap(
-            lambda c, n: vocoder_model.vocoder_forward(vparams, cfg, c, n)
-        )(codes, n_frames)
+        if _VOCODE_MAP == "laxmap":
+            audio = jax.lax.map(
+                lambda cn: vocoder_model.vocoder_forward(
+                    vparams, cfg, cn[0], cn[1][0]),
+                (codes, n_frames[:, None]))
+        else:
+            audio = jax.vmap(
+                lambda c, n: vocoder_model.vocoder_forward(vparams, cfg, c, n)
+            )(codes, n_frames)
+    if pcm16:
+        audio = jnp.clip(audio * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
+    return audio
+
+
+def _fetch_audio(dev_audio) -> np.ndarray:
+    """Device audio -> host f32 (dequantizing the PCM16 fetch tier)."""
+    host = np.asarray(dev_audio)
+    if host.dtype == np.int16:
+        return host.astype(np.float32) / 32767.0
+    return host
 
 
 def vocode_batched(vparams, cfg, codes, n_frames):
-    """Batch vocode in <=_VOCODE_MAX_LANES-lane vmapped dispatches (the
-    serving path: B dispatches -> ceil(B/16); codes [B, Fb, 16])."""
+    """Batch vocode in <=_VOCODE_MAX_LANES-lane dispatches (the serving
+    path: B lanes -> ceil(B/16) dispatches; codes [B, Fb, 16])."""
     B = codes.shape[0]
     outs = []
     for g0 in range(0, B, _VOCODE_MAX_LANES):
@@ -95,10 +130,12 @@ def vocode_batched(vparams, cfg, codes, n_frames):
                 [codes[g0:g1], jnp.zeros((pad,) + codes.shape[1:], codes.dtype)])
             n = jnp.concatenate(
                 [n_frames[g0:g1], jnp.ones((pad,), n_frames.dtype)])
-            outs.append(np.asarray(_vocode_batch(vparams, cfg, c, n))[: g1 - g0])
+            outs.append(_fetch_audio(_vocode_batch(
+                vparams, cfg, c, n, pcm16=_FETCH_PCM16))[: g1 - g0])
         else:
-            outs.append(np.asarray(_vocode_batch(
-                vparams, cfg, codes[g0:g1], n_frames[g0:g1])))
+            outs.append(_fetch_audio(_vocode_batch(
+                vparams, cfg, codes[g0:g1], n_frames[g0:g1],
+                pcm16=_FETCH_PCM16)))
     return np.concatenate(outs) if len(outs) > 1 else outs[0]
 
 
@@ -490,6 +527,7 @@ class Qwen3TTS:
                 repetition_penalty=params.repetition_penalty,
                 nothink=params.language_id < 0,
                 kv_quant=resolve_kv_quant(rt, kv_capacity=kv_capacity),
+                pcm16=_FETCH_PCM16,
             )
         else:
             gen = decode_loop.generate_from_tokens(
@@ -507,10 +545,14 @@ class Qwen3TTS:
             )
         n_frames = int(gen.n_frames)
         n_frames = min(n_frames, params.max_audio_tokens)
-        codes = np.asarray(gen.codes[:n_frames])
+        # fetch the FULL buckets and slice on the host: a device-side [:n]
+        # slice lowers a fresh program per distinct n — over the remote
+        # compile service every new utterance length would pay a compile
+        codes = np.asarray(gen.codes)[:n_frames]
         result.timings.t_generate_ms = now_ms() - t0
         result.codes = codes
-        result.hidden_states = np.asarray(gen.hidden[:n_frames], np.float32)
+        result.hidden_states = np.asarray(gen.hidden)[:n_frames].astype(
+            np.float32)
         result.n_frames = n_frames
         if n_frames == 0:
             result.error_msg = "No speech codes generated"
@@ -527,7 +569,8 @@ class Qwen3TTS:
         t0 = now_ms()
         if fused_audio is not None:
             spf = self.config.vocoder.samples_per_frame
-            audio = np.asarray(fused_audio[:n_frames * spf], np.float32)
+            audio = _fetch_audio(fused_audio)[: n_frames * spf].astype(
+                np.float32)
         else:
             if self.vocoder_params is None:
                 self._load_vocoder()

@@ -288,6 +288,10 @@ class ChunkResult(NamedTuple):
     codes: jnp.ndarray    # [B, K, 16] int32 (emitted frames; rest garbage)
     emit: jnp.ndarray     # [B, K] bool: row (b, k) is a real emission
     eos: jnp.ndarray      # [B, K] bool: lane b hit EOS at chunk step k
+    host: jnp.ndarray     # [B, 16K + 2K + 1] int32: codes|emit|eos|done packed
+                          # so the scheduler's per-chunk harvest is ONE
+                          # device->host fetch (each np.asarray of a separate
+                          # array pays its own ~27 ms tunnel round trip)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -455,7 +459,12 @@ def decode_chunk(
 
     s, codes_buf, emit_buf, eos_buf = lax.fori_loop(
         0, K, body, (state, codes_buf, emit_buf, eos_buf))
-    return ChunkResult(state=s, codes=codes_buf, emit=emit_buf, eos=eos_buf)
+    host = jnp.concatenate([
+        codes_buf.reshape(B, K * talker_cfg.n_codebooks),
+        emit_buf.astype(jnp.int32), eos_buf.astype(jnp.int32),
+        s.done.astype(jnp.int32)[:, None]], axis=1)
+    return ChunkResult(state=s, codes=codes_buf, emit=emit_buf, eos=eos_buf,
+                       host=host)
 
 
 class _Lane(NamedTuple):
@@ -517,6 +526,16 @@ class ContinuousScheduler:
         self._queue: list[tuple] = []
         self._next_rid = 0
         self._lane_owner: list[_Lane | None] = [None] * lanes
+        # Host mirrors of the device scheduling state. n_past advances
+        # deterministically (+K per chunk, -shift per compact) and every
+        # lane's start is set by THIS scheduler's own refill decisions, so
+        # re-fetching them from the device each loop iteration (as the first
+        # version did) paid 2-3 pointless ~27 ms tunnel round trips per
+        # chunk boundary. tests/test_continuous.py asserts mirror==device
+        # after every run.
+        self._n_past_h = P
+        self._start_h = np.zeros((lanes,), np.int64)
+        self._done_h = np.ones((lanes,), bool)
         self.results: dict[int, np.ndarray] = {}
         self.chunks_run = 0
         self.sessions = 0
@@ -592,24 +611,31 @@ class ContinuousScheduler:
         return jax.tree.map(put, state)
 
     def _can_admit(self) -> bool:
-        return int(self.state.n_past) + self.max_frames + self.K <= self.C
+        return self._n_past_h + self.max_frames + self.K <= self.C
 
     def _do_refill(self, done_np) -> bool:
-        """Admit up to R queued requests into idle (unowned) lanes."""
+        """Admit queued requests into idle (unowned) lanes: up to R per call
+        normally, or all B lanes in ONE bulk dispatch when more than R lanes
+        are idle and queued work covers them (the initial fill previously
+        issued ceil(B/R) sequential dispatches — each a ~27 ms tunnel round
+        trip). refill() is shape-jitted, so the bulk variant is just a
+        second compiled program (R=B)."""
         idle = [b for b in range(self.B)
                 if self._lane_owner[b] is None and bool(done_np[b])]
-        n = min(len(idle), len(self._queue), self.R)
+        n = min(len(idle), len(self._queue))
+        R_eff = self.B if n > self.R else self.R
+        n = min(n, R_eff)
         if n == 0 or not self._can_admit():
             return False
-        lane_idx = np.zeros((self.R,), np.int32)
-        mask = np.zeros((self.R,), bool)
-        tokens = np.zeros((self.R, self.Tb), np.int32)
-        n_tok = np.full((self.R,), 10, np.int32)
-        spk = np.zeros((self.R, self.tcfg.hidden_size), np.float32)
-        lang = np.zeros((self.R,), np.int32)
-        keys = np.zeros((self.R, 2), np.uint32)
-        budgets = np.ones((self.R,), np.int32)
-        samp = np.ones((self.R, 3), np.float32)
+        lane_idx = np.zeros((R_eff,), np.int32)
+        mask = np.zeros((R_eff,), bool)
+        tokens = np.zeros((R_eff, self.Tb), np.int32)
+        n_tok = np.full((R_eff,), 10, np.int32)
+        spk = np.zeros((R_eff, self.tcfg.hidden_size), np.float32)
+        lang = np.zeros((R_eff,), np.int32)
+        keys = np.zeros((R_eff, 2), np.uint32)
+        budgets = np.ones((R_eff,), np.int32)
+        samp = np.ones((R_eff, 3), np.float32)
         for r in range(n):
             rid, t, nt, sp, lg, seed, budget, samp_r = self._queue.pop(0)
             lane = idle[r]
@@ -620,6 +646,10 @@ class ContinuousScheduler:
             budgets[r] = budget
             samp[r] = samp_r
             self._lane_owner[lane] = _Lane(rid=rid, codes=[])
+            # refill() splices this lane at [n_past - P, n_past)
+            self._start_h[lane] = self._n_past_h - prefill_window_len(
+                self.nothink)
+            self._done_h[lane] = False
         dtype = self.tp.codec_embd.dtype
         t0 = _time.perf_counter()
         self.state = refill(
@@ -635,9 +665,14 @@ class ContinuousScheduler:
         return True
 
     def _harvest(self, res: ChunkResult, on_chunk=None):
-        codes = np.asarray(res.codes)
-        emit = np.asarray(res.emit)
-        done_np = np.asarray(res.state.done)
+        # ONE packed fetch (codes|emit|eos|done) — three separate
+        # np.asarray calls each paid their own tunnel round trip
+        blob = np.asarray(res.host)
+        K, nc = self.K, self.tcfg.n_codebooks
+        codes = blob[:, :K * nc].reshape(self.B, K, nc)
+        emit = blob[:, K * nc:K * nc + K].astype(bool)
+        done_np = blob[:, -1].astype(bool)
+        self._done_h = done_np
         events = []
         for b in range(self.B):
             owner = self._lane_owner[b]
@@ -667,6 +702,9 @@ class ContinuousScheduler:
             self.tp, self.tcfg, lanes=self.B, kv_capacity=self.C,
             trailing_len=self.Tb - 3, nothink=self.nothink,
             kernel_cb0=self.kernel_cb0))
+        self._n_past_h = prefill_window_len(self.nothink)
+        self._start_h[:] = 0
+        self._done_h[:] = True
         self.sessions += 1
 
     def _try_compact(self, opportunistic: bool = False) -> bool:
@@ -679,8 +717,7 @@ class ContinuousScheduler:
         compaction within a chunk or two. Idle lanes don't constrain the
         shift (their stale windows are dead; decode_chunk masks them out of
         the kernel's min-start too)."""
-        active_starts = [int(np.asarray(self.state.start)[b])
-                         for b in range(self.B)
+        active_starts = [int(self._start_h[b]) for b in range(self.B)
                          if self._lane_owner[b] is not None]
         if not active_starts:
             return False
@@ -688,15 +725,29 @@ class ContinuousScheduler:
         if opportunistic:
             needed = self.compact_threshold
         else:
-            needed = int(self.state.n_past) + self.max_frames + self.K - self.C
+            needed = self._n_past_h + self.max_frames + self.K - self.C
         if smin <= 0 or smin < needed:
             return False
         t0 = _time.perf_counter()
         self.state = compact(self.state, jnp.int32(smin),
                              talker_cfg=self.tcfg)
+        self._n_past_h -= smin
+        np.maximum(self._start_h - smin, 0, out=self._start_h)
         self.compactions += 1
         self._tock("compact_s", t0)
         return True
+
+    def check_host_mirrors(self) -> None:
+        """Test hook: assert the host scheduling mirrors equal the device
+        state. A drifted n_past/start mirror would compact beyond a live
+        lane's splice point and corrupt its history, so the continuous
+        tests call this after every run."""
+        assert self._n_past_h == int(np.asarray(self.state.n_past)), \
+            (self._n_past_h, int(np.asarray(self.state.n_past)))
+        np.testing.assert_array_equal(
+            self._start_h, np.asarray(self.state.start).astype(np.int64))
+        np.testing.assert_array_equal(
+            self._done_h, np.asarray(self.state.done))
 
     def run(self, max_chunks: int | None = None,
             on_chunk=None) -> dict[int, np.ndarray]:
@@ -708,7 +759,7 @@ class ContinuousScheduler:
         hook (pipeline.synthesize_queue turns it into chunked audio via the
         vocoder). Per-request latency is then ~one chunk wall instead of
         completion wall."""
-        done_np = np.asarray(self.state.done)
+        done_np = self._done_h
         while True:
             active = any(o is not None for o in self._lane_owner)
             if not self._queue and not active:
@@ -716,7 +767,7 @@ class ContinuousScheduler:
             if self._queue and not self._can_admit():
                 if not active:
                     self._reset_session()
-                    done_np = np.asarray(self.state.done)
+                    done_np = self._done_h
                 else:
                     # pressure compaction must reclaim enough to admit; when
                     # it can't, still take any opportunistic-threshold shift —
@@ -743,6 +794,7 @@ class ContinuousScheduler:
                 fused_talker=self.fused_talker, allow_eos=self.allow_eos,
                 **self.statics)
             self.state = res.state
+            self._n_past_h += self.K
             self.chunks_run += 1
             self._tock("decode_s", t0)
             t0 = _time.perf_counter()

@@ -32,11 +32,13 @@ def generate_and_vocode(
     language_id, key, *, talker_cfg, cp_cfg, vocoder_cfg, max_frames,
     kv_capacity, temperature, top_k, top_p=1.0, repetition_penalty=1.05,
     nothink=False, allow_eos=True, fused_cp="auto", fused_talker="auto",
-    kv_quant="none", greedy=None, use_top_p=None,
+    kv_quant="none", greedy=None, use_top_p=None, pcm16=False,
 ):
-    """Returns (audio [max_frames * samples_per_frame] f32, GenerateResult).
-    Valid audio is the first n_frames * samples_per_frame samples. Sampling
-    params are traced; stage flags derived here (kernel_prng.sampling_flags)."""
+    """Returns (audio [max_frames * samples_per_frame] f32 — or int16 PCM
+    when pcm16, halving the host-fetch bytes at the tunnel's ~40 MB/s —
+    and GenerateResult). Valid audio is the first
+    n_frames * samples_per_frame samples. Sampling params are traced; stage
+    flags derived here (kernel_prng.sampling_flags)."""
     greedy, use_top_p = sampling_flags(temperature, top_p, greedy, use_top_p)
     return _generate_and_vocode_jit(
         talker_params, cp_params, vocoder_params, tokens, n_tokens,
@@ -45,7 +47,7 @@ def generate_and_vocode(
         kv_capacity=kv_capacity, temperature=temperature, top_k=top_k,
         top_p=top_p, repetition_penalty=repetition_penalty, nothink=nothink,
         allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker,
-        kv_quant=kv_quant, greedy=greedy, use_top_p=use_top_p)
+        kv_quant=kv_quant, greedy=greedy, use_top_p=use_top_p, pcm16=pcm16)
 
 
 @functools.partial(
@@ -53,7 +55,7 @@ def generate_and_vocode(
     static_argnames=(
         "talker_cfg", "cp_cfg", "vocoder_cfg", "max_frames", "kv_capacity",
         "top_k", "nothink", "allow_eos", "fused_cp", "fused_talker",
-        "kv_quant", "greedy", "use_top_p",
+        "kv_quant", "greedy", "use_top_p", "pcm16",
     ),
 )
 def _generate_and_vocode_jit(
@@ -82,6 +84,7 @@ def _generate_and_vocode_jit(
     kv_quant: str,
     greedy: bool,
     use_top_p: bool,
+    pcm16: bool,
 ):
     gen = decode_loop.generate_from_tokens(
         talker_params, cp_params, tokens, n_tokens, speaker_embd, language_id,
@@ -92,6 +95,8 @@ def _generate_and_vocode_jit(
         kv_quant=kv_quant, greedy=greedy, use_top_p=use_top_p)
     audio = vocoder_model.vocoder_forward(
         vocoder_params, vocoder_cfg, gen.codes, gen.n_frames)
+    if pcm16:
+        audio = jnp.clip(audio * 32767.0, -32768.0, 32767.0).astype(jnp.int16)
     return audio, gen
 
 

@@ -71,6 +71,7 @@ def _run_continuous(tp, cp, reqs, *, temperature, top_k, lanes=2,
                          TCFG.english_language_id, seed=r["seed"],
                          max_frames=r["budget"]) for r in reqs]
     results = sched.run()
+    sched.check_host_mirrors()   # host n_past/start/done == device state
     return sched, [results[rid] for rid in rids]
 
 
@@ -124,6 +125,22 @@ def test_opportunistic_compaction_is_exact(params):
         f"opportunistic trigger never fired (threshold=4, "
         f"n_past={int(sched.state.n_past)}, sessions={sched.sessions})")
     assert sched.sessions == 0, "capacity 64 should never need a reset"
+    for r, codes in zip(reqs, got):
+        want = _fresh(tp, cp, r, temperature=0.0, top_k=0)
+        np.testing.assert_array_equal(codes, want)
+
+
+def test_bulk_refill_is_exact(params):
+    """When more lanes are idle than refill_slots, _do_refill switches to
+    ONE bulk dispatch at R=B (the initial fill of a 64-lane server used to
+    issue 8 sequential refill programs). The bulk program must splice
+    identically to the R-slot one: every request still matches its fresh
+    single-stream run."""
+    tp, cp = params
+    reqs = _requests()
+    sched, got = _run_continuous(tp, cp, reqs, temperature=0.0, top_k=0,
+                                 lanes=4, refill_slots=1, kv_capacity=48)
+    # 4 idle lanes, 6 queued, R=1 => the first boundary must bulk-fill
     for r, codes in zip(reqs, got):
         want = _fresh(tp, cp, r, temperature=0.0, top_k=0)
         np.testing.assert_array_equal(codes, want)

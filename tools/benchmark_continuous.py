@@ -98,12 +98,18 @@ def run_continuous(tp, cp, tcfg, ccfg, reqs, args):
     return res
 
 
-def _static_batches(reqs, B):
-    """Length-grouped batches (sorted by budget) — the standard static
-    mitigation, i.e. the STRONGEST static baseline. Each batch runs EXACTLY
-    max-of-batch frames (what EOS would do): one compile per batch count,
-    amortized by the persistent cache + warm pass."""
-    ordered = sorted(reqs, key=lambda r: r["budget"], reverse=True)
+def _static_batches(reqs, B, order="sorted"):
+    """Static batches, each run EXACTLY max-of-batch frames (what EOS would
+    do): one compile per distinct batch max, amortized by the persistent
+    cache + warm pass.
+
+    order="sorted": length-grouped (sorted by budget) — the OFFLINE-ORACLE
+    baseline; it needs every request's length up front, which online serving
+    never has. order="arrival": consecutive submission-order batches — the
+    realistic online static baseline (a batch's wall is dominated by its
+    longest member, so mixed batches idle short lanes hard)."""
+    ordered = (sorted(reqs, key=lambda r: r["budget"], reverse=True)
+               if order == "sorted" else list(reqs))
     out = []
     for off in range(0, len(ordered), B):
         batch = list(ordered[off:off + B])
@@ -113,16 +119,16 @@ def _static_batches(reqs, B):
     return out
 
 
-def run_static(tp, cp, tcfg, ccfg, reqs, args):
-    """Static baseline: length-grouped B-lane batches, each running to its
-    max budget (what EOS-driven static batching does), credited only
-    sum(budgets) useful frames."""
+def run_static(tp, cp, tcfg, ccfg, reqs, args, order="sorted"):
+    """Static baseline: B-lane batches, each running to its max budget
+    (what EOS-driven static batching does), credited only sum(budgets)
+    useful frames. order: see _static_batches."""
     from qwen3tts_tpu.runtime.decode_loop import generate_from_tokens_batched
 
     B, Tb = args.lanes, args.text_bucket
     H = tcfg.hidden_size
     useful = sum(r["budget"] for r in reqs)
-    batches = _static_batches(reqs, B)
+    batches = _static_batches(reqs, B, order)
     # static needs only one request span of cache (256-aligned), not the
     # continuous session capacity — give it its natural (cheaper) size
     C_static = -(-(10 + args.max_frames + 8) // 256) * 256
@@ -176,9 +182,18 @@ def main() -> int:
                          "after every program — diagnosis, not headline)")
     ap.add_argument("--static-only", action="store_true")
     ap.add_argument("--continuous-only", action="store_true")
+    ap.add_argument("--arrival-static", action="store_true",
+                    help="also run the arrival-order static baseline (the "
+                         "online-realistic one; sorted static is an offline "
+                         "oracle that knows every length up front)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config (CPU smoke of the harness itself)")
     args = ap.parse_args()
+
+    if args.tiny:
+        # --tiny is a harness smoke: force CPU (the env pins jax_platforms
+        # to the remote-TPU tunnel; tiny shapes also fail Mosaic tiling)
+        jax.config.update("jax_platforms", "cpu")
 
     from qwen3tts_tpu.config import PipelineConfig, tiny_pipeline_config
     from qwen3tts_tpu.models import code_predictor as cp_model
@@ -212,11 +227,19 @@ def main() -> int:
         print("continuous...", file=sys.stderr)
         out["continuous"] = run_continuous(tp, cp, tcfg, ccfg, reqs, args)
     if not args.continuous_only:
-        print("static baseline...", file=sys.stderr)
+        print("static baseline (length-sorted oracle)...", file=sys.stderr)
         out["static"] = run_static(tp, cp, tcfg, ccfg, reqs, args)
+        if args.arrival_static:
+            print("static baseline (arrival order)...", file=sys.stderr)
+            out["static_arrival"] = run_static(
+                tp, cp, tcfg, ccfg, reqs, args, order="arrival")
     if "continuous" in out and "static" in out:
         out["speedup"] = round(out["continuous"]["frames_per_s"]
                                / out["static"]["frames_per_s"], 3)
+    if "continuous" in out and "static_arrival" in out:
+        out["speedup_vs_arrival"] = round(
+            out["continuous"]["frames_per_s"]
+            / out["static_arrival"]["frames_per_s"], 3)
     print(json.dumps(out))
     return 0
 

@@ -246,10 +246,11 @@ def batched_table(tp, cp, tcfg, ccfg, vcfg, dispatch_ms, B=64):
 
     glue_ms = slope_ms - talker_ms - cp_ms
 
-    # batched vocode per frame-set: the serving path's 16-lane vmapped
-    # dispatch at the pipeline's resolved precision tier, chained x2
+    # batched vocode per frame-set: the serving path's 16-lane dispatch
+    # (lax.map default since r4 — QWEN3TTS_VOCODE_MAP) at the pipeline's
+    # resolved precision tier, chained x2
     from qwen3tts_tpu.models import vocoder as V
-    from qwen3tts_tpu.pipeline import _vocode_precision
+    from qwen3tts_tpu.pipeline import _VOCODE_MAP, _vocode_precision
     lanes, Fv, K = 16, 256, 2
     vp = jax.block_until_ready(jax.jit(
         lambda: V.init_vocoder_params(jax.random.PRNGKey(3), vcfg,
@@ -263,9 +264,14 @@ def batched_table(tp, cp, tcfg, ccfg, vcfg, dispatch_ms, B=64):
     def voc_chain(vp, codes, nfr):
         def body(i, acc):
             with jax.default_matmul_precision(precision):
-                audio = jax.vmap(
-                    lambda c, n: vocoder_forward(vp, vcfg, c, n)
-                )(codes + (i % 2), nfr)   # i-dependence defeats LICM
+                ci = codes + (i % 2)   # i-dependence defeats LICM
+                if _VOCODE_MAP == "laxmap":
+                    audio = jax.lax.map(
+                        lambda cn: vocoder_forward(vp, vcfg, cn[0], cn[1][0]),
+                        (ci, nfr[:, None]))
+                else:
+                    audio = jax.vmap(
+                        lambda c, n: vocoder_forward(vp, vcfg, c, n))(ci, nfr)
             return acc + audio[:, :8].sum(0)
         return jax.lax.fori_loop(0, K, body, jnp.zeros((8,), jnp.float32))
 
