@@ -44,6 +44,32 @@ from .text.bpe import TextTokenizer, synthetic_tokenizer
 
 import functools
 
+
+def _enable_compile_cache() -> None:
+    """Point JAX's persistent compilation cache at a package-adjacent
+    directory unless the caller already configured one. The reference CLI
+    starts in milliseconds; ours compiles ~4 programs through a remote
+    compile service with minutes-scale latency (CLAUDE.md), so WITHOUT a
+    persistent cache every `python -m qwen3tts_tpu.cli` invocation re-pays
+    the full compile. bench.py and tools/ each set this per-script; the
+    product path (CLI + library load_models) previously never did.
+    QWEN3TTS_COMPILE_CACHE overrides the location; =0/off disables."""
+    env = os.environ.get("QWEN3TTS_COMPILE_CACHE", "")
+    if env.lower() in ("0", "off", "false", "none"):
+        return
+    if jax.config.jax_compilation_cache_dir:   # caller's choice wins
+        return
+    path = env or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:   # noqa: BLE001 - a cache is an optimization, never fatal
+        pass
+
+
 # one vmapped vocoder dispatch holds at most this many lanes: the conv
 # stack's activations scale with B x frames and a 64-lane 256-frame program
 # failed to compile at f32 precision (resource limits); 16 lanes compiles and
@@ -255,6 +281,7 @@ class Qwen3TTS:
         Qwen3-TTS-12Hz-0.6B-Base and Qwen3-TTS-Tokenizer-12Hz subdirs or their
         safetensors directly), or deterministic synthetic weights."""
         t0 = now_ms()
+        _enable_compile_cache()
         self._model_dir = model_dir
         self._synthetic_seed = seed if (synthetic or model_dir is None) else None
         try:

@@ -72,6 +72,18 @@ def prefill_window_len(nothink: bool) -> int:
     return 9 if nothink else 10
 
 
+def _host_prngkey(seed: int) -> np.ndarray:
+    """jax.random.PRNGKey(seed) built on the HOST. The jax call creates a
+    device array and _do_refill immediately np.asarray'd it back — TWO
+    tunnel round trips PER REQUEST (~55 ms each over the remote-TPU link;
+    the r4 phase decomposition showed 192 requests paying ~5 s of the 12 s
+    continuous wall in this one line). Matches threefry2x32 key data for
+    any seed (jax truncates to 32 bits when x64 is off, mirrored here;
+    tests/test_continuous.py asserts equality against jax.random.PRNGKey)."""
+    hi = (int(seed) >> 32) & 0xFFFFFFFF if jax.config.jax_enable_x64 else 0
+    return np.array([hi, int(seed) & 0xFFFFFFFF], np.uint32)
+
+
 class ContinuousState(NamedTuple):
     n_past: jnp.ndarray       # scalar int32: global write column (lockstep)
     start: jnp.ndarray        # [B] int32: per-lane first valid cache column
@@ -642,7 +654,7 @@ class ContinuousScheduler:
             lane_idx[r] = lane
             mask[r] = True
             tokens[r], n_tok[r], spk[r], lang[r] = t, nt, sp, lg
-            keys[r] = np.asarray(jax.random.PRNGKey(seed))
+            keys[r] = _host_prngkey(seed)
             budgets[r] = budget
             samp[r] = samp_r
             self._lane_owner[lane] = _Lane(rid=rid, codes=[])

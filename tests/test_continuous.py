@@ -295,3 +295,13 @@ def test_state_shapes_and_reset(params):
     assert bool(st.done.all())
     assert int(st.n_past) == cont.prefill_window_len(False) == 10
     assert cont.prefill_window_len(True) == 9
+
+
+def test_host_prngkey_matches_jax():
+    """_do_refill builds per-request keys on the HOST (the jax.random.
+    PRNGKey device round trip cost ~5 s / 192 requests over the tunnel);
+    the host bytes must equal jax's threefry key data exactly."""
+    for seed in (0, 1, 42, 1000, 2**31 - 1, 2**31, 2**32 - 1):
+        np.testing.assert_array_equal(
+            cont._host_prngkey(seed), np.asarray(jax.random.PRNGKey(seed)),
+            err_msg=f"seed {seed}")

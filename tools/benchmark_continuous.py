@@ -93,6 +93,10 @@ def run_continuous(tp, cp, tcfg, ccfg, reqs, args):
                    useful / (sched.chunks_run * args.chunk * args.lanes), 3))
     if args.timing:
         res["phases"] = {k: round(v, 3) for k, v in sched.stats.items()}
+        # residual = host scheduling + anything blocking OUTSIDE the four
+        # device phases (this is how the per-request PRNGKey round trips
+        # were found: 5.1 s of "other" in a 12 s run)
+        res["phases"]["other"] = round(wall - sum(sched.stats.values()), 3)
         res["decode_ms_per_frame_set"] = round(
             1e3 * sched.stats["decode_s"] / (sched.chunks_run * args.chunk), 2)
     return res
@@ -182,6 +186,11 @@ def main() -> int:
                          "after every program — diagnosis, not headline)")
     ap.add_argument("--static-only", action="store_true")
     ap.add_argument("--continuous-only", action="store_true")
+    ap.add_argument("--no-sorted", action="store_true",
+                    help="skip the length-sorted oracle baseline (at large "
+                         "--requests each sorted batch has a distinct max "
+                         "=> one remote compile per batch; arrival batches "
+                         "nearly all share max_frames)")
     ap.add_argument("--arrival-static", action="store_true",
                     help="also run the arrival-order static baseline (the "
                          "online-realistic one; sorted static is an offline "
@@ -227,8 +236,9 @@ def main() -> int:
         print("continuous...", file=sys.stderr)
         out["continuous"] = run_continuous(tp, cp, tcfg, ccfg, reqs, args)
     if not args.continuous_only:
-        print("static baseline (length-sorted oracle)...", file=sys.stderr)
-        out["static"] = run_static(tp, cp, tcfg, ccfg, reqs, args)
+        if not args.no_sorted:
+            print("static baseline (length-sorted oracle)...", file=sys.stderr)
+            out["static"] = run_static(tp, cp, tcfg, ccfg, reqs, args)
         if args.arrival_static:
             print("static baseline (arrival order)...", file=sys.stderr)
             out["static_arrival"] = run_static(
