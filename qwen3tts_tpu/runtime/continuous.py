@@ -30,11 +30,17 @@ makes lane OCCUPANCY dynamic:
   slots). Two compiled programs total, per (B, C, K/R, quant) config.
 
 Capacity: a request admitted at column p may write up to max_frames
-columns, so admission requires p + max_frames + K <= C. When the queue
-outlives the cache, the scheduler drains the session and resets (same
-compiled programs — n_past rewinds to P). A v2 could compact live windows
-downward instead; at C=1024, max_frames<=256 the drain overhead is already
-small versus the static loop's per-batch drain.
+columns, so admission requires p + max_frames + K <= C. When the write
+column nears C with lanes still active, ROLLING COMPACTION (``compact``)
+reclaims the columns below every active lane's start — the cache rolls
+down by min(active start) and the K rows are re-rotated by -shift in
+place — so sessions run indefinitely instead of draining. Compaction is
+pressure-only by default (compact_policy="pressure"): it exists to
+reclaim admission capacity, not to speed decode — a global shift leaves
+the fused kernel's DMA window depth unchanged, and the r4 hardware
+session measured opportunistic shifts as pure overhead (184 ms/call).
+Only when every lane idles AND capacity still blocks does the scheduler
+reset the session (same compiled programs — n_past rewinds to P).
 
 Not yet wired here: int8-KV and the lane-major layout (both assert off —
 the refill splice writes bf16 rows).
@@ -497,6 +503,13 @@ class ContinuousScheduler:
     run() drives refill/decode_chunk until the queue drains; completed
     requests' codes are assembled host-side from chunk emissions (the
     vocoder consumes only codes — pipeline.vocode_batched them afterwards).
+
+    compact_policy: "pressure" (default) compacts only when admission is
+    blocked and the shift unblocks it; "opportunistic" additionally shifts
+    whenever min(active start) >= compact_threshold — measured as pure
+    overhead on v5e (184 ms/call, no decode benefit: the kernel's DMA
+    window depth is invariant under a global shift), kept as a
+    correctness stressor.
     """
 
     def __init__(self, talker_params, cp_params, talker_cfg: TalkerConfig,
@@ -508,7 +521,8 @@ class ContinuousScheduler:
                  repetition_penalty: float = 1.05, nothink: bool = False,
                  allow_eos: bool = True, fused_cp="auto",
                  fused_talker="auto", mesh=None,
-                 compact_threshold: int = 128, timing: bool = False):
+                 compact_threshold: int = 128,
+                 compact_policy: str = "pressure", timing: bool = False):
         P = prefill_window_len(nothink)
         assert kv_capacity >= P + max_frames + chunk_frames, \
             "kv_capacity cannot admit even one request"
@@ -518,6 +532,8 @@ class ContinuousScheduler:
         self.Tb, self.K, self.R = text_bucket, chunk_frames, refill_slots
         self.max_frames = max_frames
         self.compact_threshold = int(compact_threshold)
+        assert compact_policy in ("pressure", "opportunistic"), compact_policy
+        self.compact_policy = compact_policy
         self.nothink, self.allow_eos = nothink, allow_eos
         self.fused_cp, self.fused_talker = fused_cp, fused_talker
         # greedy/use_top_p/top_k are per-SERVER statics (compiled program
@@ -721,14 +737,20 @@ class ContinuousScheduler:
 
     def _try_compact(self, opportunistic: bool = False) -> bool:
         """Reclaim the columns below every ACTIVE lane's start
-        (runtime/continuous.compact). Two triggers: capacity pressure (must
-        reclaim enough to admit again) and OPPORTUNISTIC (shift >=
-        compact_threshold) — the talker kernel's KV DMA streams
-        [min(start), n_past) every step (~7.3 MB/column/frame-set at B=64),
-        so keeping the window shallow pays for the ~1.5 cache-pass
-        compaction within a chunk or two. Idle lanes don't constrain the
-        shift (their stale windows are dead; decode_chunk masks them out of
-        the kernel's min-start too)."""
+        (runtime/continuous.compact). The PRESSURE trigger (default policy)
+        fires only when admission is blocked and the shift is large enough
+        to unblock it — compaction exists solely to reclaim ADMISSION
+        capacity. A global shift cannot make decode steps cheaper: the
+        fused kernel's DMA window [min(active start), n_past) keeps its
+        depth under a rigid shift, and the XLA attention path is
+        capacity-static. The r4 hardware session measured the earlier
+        opportunistic default (shift >= compact_threshold at any boundary)
+        as pure overhead — 184 ms/call, zero decode delta — so it is now
+        the opt-in compact_policy="opportunistic" (kept as a correctness
+        stressor: tests/test_continuous.py drives compaction mid-request at
+        threshold 4). Idle lanes don't constrain the shift (their stale
+        windows are dead; decode_chunk masks them out of the kernel's
+        min-start too)."""
         active_starts = [int(self._start_h[b]) for b in range(self.B)
                          if self._lane_owner[b] is not None]
         if not active_starts:
@@ -781,12 +803,14 @@ class ContinuousScheduler:
                     self._reset_session()
                     done_np = self._done_h
                 else:
-                    # pressure compaction must reclaim enough to admit; when
-                    # it can't, still take any opportunistic-threshold shift —
-                    # the deep KV DMA window costs every subsequent step even
-                    # while admission stays blocked
-                    self._try_compact() or self._try_compact(opportunistic=True)
-            elif active:
+                    # pressure compaction must reclaim enough to admit; a
+                    # partial (threshold) shift is pointless here — admission
+                    # unblocks on the same event either way (the oldest
+                    # active lane finishing), and each call costs ~184 ms
+                    if not self._try_compact() and \
+                            self.compact_policy == "opportunistic":
+                        self._try_compact(opportunistic=True)
+            elif active and self.compact_policy == "opportunistic":
                 self._try_compact(opportunistic=True)
             # refill until lanes are full, the queue drains, or capacity
             # blocks: one call admits at most R requests, and a chunk can

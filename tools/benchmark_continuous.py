@@ -68,7 +68,7 @@ def run_continuous(tp, cp, tcfg, ccfg, reqs, args):
             refill_slots=args.refill_slots, max_frames=args.max_frames,
             temperature=0.9, top_k=50, repetition_penalty=1.05,
             allow_eos=False, compact_threshold=args.compact_threshold,
-            timing=args.timing)
+            compact_policy=args.compact_policy, timing=args.timing)
         for r in reqs:
             sched.submit(r["tokens"], r["n_tokens"],
                          np.zeros((H,), np.float32),
@@ -181,6 +181,12 @@ def main() -> int:
                     help="timed pass is the last; earlier passes warm "
                          "compiles (persistent cache makes reruns cheap)")
     ap.add_argument("--compact-threshold", type=int, default=128)
+    ap.add_argument("--compact-policy", default="pressure",
+                    choices=("pressure", "opportunistic"),
+                    help="pressure (default): compact only when admission "
+                         "blocks; opportunistic: also shift whenever "
+                         "min(start) >= threshold (r4 measured this as pure "
+                         "overhead — 184 ms/call, zero decode delta)")
     ap.add_argument("--timing", action="store_true",
                     help="per-phase wall decomposition (adds a device sync "
                          "after every program — diagnosis, not headline)")

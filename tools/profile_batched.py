@@ -161,6 +161,92 @@ def main() -> int:
     print(f"cp batched chained x{N}: {per_set_cp:.3f} ms/frame-set")
 
     glue = per_set_full - per_set_talker - per_set_cp
+
+    # (d) direct attribution of the glue: the PRNG chain (per-frame threefry
+    # splits + bits — the body's only sequential small-op chain) and the XLA
+    # assembly ops (one-hot cb0 embedding matmul, lockstep emission writes,
+    # trailing-row reduction, seen update), each chained N times in ONE jit.
+    H = tcfg.hidden_size
+    Trb = 29
+
+    def prng_chain(keys):
+        def body(i, keys):
+            ks = jax.vmap(lambda k: jax.random.split(k, 3))(keys)
+            keys_next, k_cb0, k_cp = ks[:, 0], ks[:, 1], ks[:, 2]
+            s1 = jax.vmap(lambda kk: jax.lax.bitcast_convert_type(
+                jax.random.bits(kk, (), "uint32"), jnp.int32))(k_cb0)
+            s2 = jax.vmap(lambda kk: jax.lax.bitcast_convert_type(
+                jax.random.bits(kk, (), "uint32"), jnp.int32))(k_cp)
+            # fold the seeds back in so nothing dead-codes
+            return keys_next.at[:, 0].add(
+                (s1 + s2).astype(jnp.uint32) * jnp.uint32(0))
+        return jax.lax.fori_loop(0, N, body, keys)
+
+    prng_chain_j = jax.jit(prng_chain)
+    out3 = prng_chain_j(keys)
+    _ = np.asarray(out3[:1])
+    t_prng = float("inf")
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        out3 = prng_chain_j(keys)
+        _ = np.asarray(out3[:1])
+        t_prng = min(t_prng, time.perf_counter() - t0)
+    per_set_prng = 1e3 * t_prng / N
+    print(f"prng chain x{N}: {per_set_prng:.3f} ms/frame-set")
+
+    def assembly_chain(embd_table, trailing, codes_buf, hidden_buf, seen):
+        def body(i, carry):
+            codes_buf, hidden_buf, seen, acc = carry
+            cb0 = (jnp.abs(acc[:, 0]).astype(jnp.int32) + i) % Vc   # [B]
+            onehot = (cb0[:, None] == jnp.arange(Vc)[None, :])
+            cb0_embd = jax.lax.dot_general(
+                onehot.astype(jnp.bfloat16), embd_table,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)                  # [B, H]
+            emit = cb0 != 0
+            fc = jnp.broadcast_to(cb0[:, None], (B, tcfg.n_codebooks))
+            codes_buf = jax.lax.dynamic_update_slice(
+                codes_buf,
+                jnp.where(emit[:, None, None], fc[:, None, :],
+                          jax.lax.dynamic_slice(
+                              codes_buf, (0, i, 0), (B, 1, tcfg.n_codebooks))),
+                (0, i, 0))
+            h_row = cb0_embd.astype(jnp.bfloat16)[:, None, :]
+            hidden_buf = jax.lax.dynamic_update_slice(
+                hidden_buf,
+                jnp.where(emit[:, None, None], h_row,
+                          jax.lax.dynamic_slice(
+                              hidden_buf, (0, i, 0), (B, 1, H))),
+                (0, i, 0))
+            seen = seen | (onehot & emit[:, None])
+            t_idx = jnp.minimum(jnp.full((B,), i), Trb - 1)
+            t_mask = (jnp.arange(Trb)[None, :] == t_idx[:, None])
+            trailing_row = jnp.sum(
+                jnp.where(t_mask[:, :, None], trailing, 0).astype(jnp.float32),
+                axis=1)
+            return codes_buf, hidden_buf, seen, acc + cb0_embd + trailing_row
+        acc0 = jnp.zeros((B, H), jnp.float32)
+        return jax.lax.fori_loop(
+            0, N, body, (codes_buf, hidden_buf, seen, acc0))
+
+    assembly_chain_j = jax.jit(assembly_chain, donate_argnums=(2, 3))
+    embd_t = jnp.zeros((Vc, H), jnp.bfloat16)
+    trail0 = jnp.zeros((B, Trb, H), jnp.bfloat16)
+    cbuf0 = jnp.zeros((B, F, tcfg.n_codebooks), jnp.int32)
+    hbuf0 = jnp.zeros((B, F, H), jnp.bfloat16)
+    out4 = assembly_chain_j(embd_t, trail0, cbuf0, hbuf0, seen0)
+    _ = np.asarray(out4[3][:1, :1])
+    t_asm = float("inf")
+    for _rep in range(3):
+        cbuf0 = jnp.zeros((B, F, tcfg.n_codebooks), jnp.int32)
+        hbuf0 = jnp.zeros((B, F, H), jnp.bfloat16)
+        t0 = time.perf_counter()
+        out4 = assembly_chain_j(embd_t, trail0, cbuf0, hbuf0, seen0)
+        _ = np.asarray(out4[3][:1, :1])
+        t_asm = min(t_asm, time.perf_counter() - t0)
+    per_set_asm = 1e3 * t_asm / N
+    print(f"assembly chain x{N}: {per_set_asm:.3f} ms/frame-set")
+
     print(json.dumps({
         "scenario": "batched_decomposition", "batch": B, "frames": F,
         "ms_per_frame_set": round(per_set_full, 3),
@@ -168,6 +254,9 @@ def main() -> int:
         "cp_ms": round(per_set_cp, 3),
         "glue_ms": round(glue, 3),
         "glue_pct": round(100 * glue / per_set_full, 1),
+        "glue_prng_ms": round(per_set_prng, 3),
+        "glue_assembly_ms": round(per_set_asm, 3),
+        "glue_unattributed_ms": round(glue - per_set_prng - per_set_asm, 3),
     }))
 
     if args.trace_dir:
