@@ -109,18 +109,23 @@ def main() -> int:
     samp = dict(top_k=50, suppress_start=Vc - tcfg.n_suppressed_tail,
                 eos_id=tcfg.codec_eos_id, greedy=False, use_top_p=True)
 
-    def talker_chain(x, kv, seen):
+    # weights ride as ARGS, never closure constants — closed-over full-size
+    # weights are embedded in the remote-compile HTTP payload and it 413s
+    # (this exact line killed the r3 run of this tool)
+    def talker_chain(blocks, output_norm, codec_head, x, kv, seen):
         def body(i, carry):
             x, kv, seen = carry
             h, cb0, kv = fused_talker_step_batched(
-                tp.blocks, tcfg, x, jnp.int32(10) + i, kv,
-                output_norm=tp.output_norm, codec_head=tp.codec_head,
+                blocks, tcfg, x, jnp.int32(10) + i, kv,
+                output_norm=output_norm, codec_head=codec_head,
                 seen=seen, seeds=jnp.arange(B, dtype=jnp.int32) + i,
                 temperature=0.9, top_p=1.0, repetition_penalty=1.05, **samp)
             return h.astype(x.dtype), kv, seen
         return jax.lax.fori_loop(0, N, body, (x, kv, seen))
 
-    talker_chain_j = jax.jit(talker_chain, donate_argnums=(1,))
+    talker_chain_full = jax.jit(talker_chain, donate_argnums=(4,))
+    talker_chain_j = lambda x, kv, seen: talker_chain_full(  # noqa: E731
+        tp.blocks, tp.output_norm, tp.codec_head, x, kv, seen)
     x0 = jnp.zeros((B, tcfg.hidden_size), jnp.bfloat16)
     kv0 = jnp.zeros((B, tcfg.n_layers, 2, tcfg.n_kv_heads, C, tcfg.head_dim),
                     jnp.bfloat16)
@@ -138,16 +143,17 @@ def main() -> int:
     print(f"talker v3 chained x{N}: {per_set_talker:.3f} ms/frame-set")
 
     # (c) batched cp kernel chained
-    def cp_chain(h, e):
+    def cp_chain(cp_params, h, e):
         def body(i, carry):
             h, e = carry
             codes, nxt = fused_predict_codes_batched(
-                cp, ccfg, h, e, jnp.arange(B, dtype=jnp.int32) + i,
+                cp_params, ccfg, h, e, jnp.arange(B, dtype=jnp.int32) + i,
                 temperature=0.9, top_k=50)
             return h + nxt.astype(h.dtype) * 1e-6, e + codes.sum() * 0
         return jax.lax.fori_loop(0, N, body, (h, e))
 
-    cp_chain_j = jax.jit(cp_chain)
+    cp_chain_full = jax.jit(cp_chain)
+    cp_chain_j = lambda h, e: cp_chain_full(cp, h, e)  # noqa: E731
     h0 = jnp.zeros((B, tcfg.hidden_size), jnp.bfloat16)
     out2 = cp_chain_j(h0, h0)
     _ = np.asarray(out2[0][:1, :1])
