@@ -714,6 +714,7 @@ class Qwen3TTS:
                          kv_capacity: Optional[int] = None,
                          chunk_frames: int = 32, refill_slots: int = 8,
                          on_audio=None, stream_history: int = 16,
+                         stream_cadence: int = 32,
                          max_audio_tokens_per_request=None):
         """Continuous-batching synthesis of a request queue: finished lanes
         are refilled mid-flight (runtime/continuous.py), so a mix of
@@ -728,12 +729,15 @@ class Qwen3TTS:
         key-split scheme.
 
         on_audio(request_index, audio_chunk, finished), if given, streams
-        each request's audio as it is generated: after every decode chunk,
-        all emitting lanes' windows ([stream_history left-context + new]
-        frames, seam semantics of stream_decode_chunks) are vocoded in ONE
-        fixed-shape vmapped dispatch. Per-request latency becomes ~one
-        chunk wall (chunk_frames trades TTFA against dispatch overhead);
-        the returned TTSResults carry the streamed audio concatenated.
+        each request's audio as it is generated (seam semantics of
+        stream_decode_chunks: each vocoded window carries stream_history
+        left-context frames whose samples are discarded). A request's
+        FIRST decoded chunk is vocoded immediately — TTFA is ~one decode-
+        chunk wall — after which audio is emitted in stream_cadence-frame
+        segments (0 = every decode chunk, the pre-r4 behavior; the r4
+        silicon measurement made per-chunk emission 64 x ~27 ms/lane of
+        vocode per chunk, ~13x the staggered-cadence cost). The returned
+        TTSResults carry the streamed audio concatenated.
 
         max_audio_tokens_per_request, if given, is a per-request frame
         budget (list of ints, len(texts)) overriding params.max_audio_tokens
@@ -792,42 +796,100 @@ class Qwen3TTS:
                 self._load_vocoder()
             spf_ = vcfg.samples_per_frame
             ncb = vcfg.n_codebooks
-            hist_codes: dict[int, np.ndarray] = {}
-            emitted_count: dict[int, int] = {}
-            # fixed shapes: every chunk vocodes exactly `lanes` windows of
-            # one bucket — ONE compiled program for the whole run
-            Fb_s = pick_bucket(stream_history + chunk_frames,
-                               rt.vocoder_buckets)
-            G = lanes
 
-            def on_chunk(events):
-                wins = []
-                for rid, rows, finished in events:
-                    prev = hist_codes.get(rid)
-                    total_prev = emitted_count.get(rid, 0)
-                    acc = (rows if prev is None else
-                           np.concatenate([prev, rows], axis=0))
-                    hist = min(stream_history, total_prev)
-                    new = rows.shape[0]
-                    wins.append((rid, acc[-(hist + new):] if hist + new
-                                 else np.zeros((0, ncb), np.int32),
-                                 hist, new, finished))
-                    emitted_count[rid] = total_prev + new
-                    hist_codes[rid] = acc[-stream_history:]
-                    if finished:
-                        hist_codes.pop(rid, None)
-                bufs = np.zeros((G, Fb_s, ncb), np.int32)
-                nf = np.ones((G,), np.int32)
-                for g, (_, window, *_rest) in enumerate(wins[:G]):
+            def _r8(n):
+                return max(8, -(-n // 8) * 8)
+
+            # Staggered-cadence emission (r4): vocoding every lane's
+            # [history + chunk] window every decode chunk measured 64 x
+            # ~27 ms/lane per chunk on silicon (the per-lane conv-stack
+            # wall barely amortizes: lax.map == vmap == 13.5 ms/lane at a
+            # 32-frame bucket) — 3x work amplification at the least
+            # efficient window size, ~136 aggregate f/s at 64 lanes. So:
+            # a request's FIRST decoded frames are vocoded immediately
+            # (TTFA unchanged), after which it emits fixed
+            # `stream_cadence`-frame segments; per chunk only ~B*chunk/
+            # cadence lanes vocode, each window carrying cadence new
+            # frames per `stream_history` re-vocoded ones. Two compiled
+            # programs total (first-emission bucket + steady bucket),
+            # lanes padded to multiples of 16.
+            cadence = stream_cadence if stream_cadence > 0 else 0
+            Fb_first = _r8(chunk_frames)
+            Fb_steady = _r8(stream_history + (cadence or chunk_frames))
+            ctx_codes: dict[int, np.ndarray] = {}
+            pend_codes: dict[int, np.ndarray] = {}
+            emitted_count: dict[int, int] = {}
+
+            def _vocode_wins(wins, Fb):
+                """wins: (rid, window [hist+k,16], hist, k, fin); one
+                dispatch set over lanes padded to a multiple of 16."""
+                L = -(-len(wins) // 16) * 16
+                bufs = np.zeros((L, Fb, ncb), np.int32)
+                nf = np.ones((L,), np.int32)
+                for g, (_, window, *_rest) in enumerate(wins):
                     bufs[g, : window.shape[0]] = window
                     nf[g] = max(window.shape[0], 1)
                 audio = vocode_batched(self.vocoder_params, vcfg,
                                        jnp.asarray(bufs), jnp.asarray(nf))
-                for g, (rid, window, hist, new, finished) in enumerate(wins[:G]):
-                    chunk_audio = audio[g, hist * spf_: (hist + new) * spf_]
-                    if new or finished:
-                        streamed.setdefault(rid, []).append(chunk_audio)
-                        on_audio(rid_to_idx[rid], chunk_audio, finished)
+                for g, (rid, window, hist, k, fin) in enumerate(wins):
+                    chunk_audio = audio[g, hist * spf_: (hist + k) * spf_]
+                    streamed.setdefault(rid, []).append(chunk_audio)
+                    on_audio(rid_to_idx[rid], chunk_audio, fin)
+
+            def on_chunk(events):
+                first_wins, steady_wins = [], []
+                for rid, rows, finished in events:
+                    pend = pend_codes.get(rid)
+                    pend = (rows if pend is None else
+                            np.concatenate([pend, rows], axis=0))
+                    emits = []   # (k, is_first)
+                    avail = pend.shape[0]
+                    if emitted_count.get(rid, 0) == 0 and avail:
+                        k = min(avail, Fb_first)
+                        emits.append((k, True))
+                        avail -= k
+                    if cadence:
+                        while avail >= cadence:
+                            emits.append((cadence, False))
+                            avail -= cadence
+                        if finished:
+                            while avail > 0:
+                                k = min(avail, cadence)
+                                emits.append((k, False))
+                                avail -= k
+                    elif avail:
+                        emits.append((avail, False))
+                        avail = 0
+                    off = 0
+                    for k, is_first in emits:
+                        seg = pend[off: off + k]
+                        off += k
+                        ctx = ctx_codes.get(rid)
+                        hist = 0 if is_first else (
+                            0 if ctx is None else
+                            min(stream_history, ctx.shape[0]))
+                        window = (seg if hist == 0 else
+                                  np.concatenate([ctx[-hist:], seg], axis=0))
+                        fin = finished and off == pend.shape[0]
+                        (first_wins if is_first else steady_wins).append(
+                            (rid, window, hist, k, fin))
+                        grown = (seg if ctx is None else
+                                 np.concatenate([ctx, seg], axis=0))
+                        ctx_codes[rid] = grown[-stream_history:]
+                        emitted_count[rid] = emitted_count.get(rid, 0) + k
+                    pend_codes[rid] = pend[off:]
+                    if finished:
+                        pend_codes.pop(rid, None)
+                        ctx_codes.pop(rid, None)
+                        if not emits:   # zero-frame finish: still signal
+                            streamed.setdefault(rid, []).append(
+                                np.zeros((0,), np.float32))
+                            on_audio(rid_to_idx[rid],
+                                     np.zeros((0,), np.float32), True)
+                if first_wins:
+                    _vocode_wins(first_wins, Fb_first)
+                if steady_wins:
+                    _vocode_wins(steady_wins, Fb_steady)
 
         out = sched.run(on_chunk=on_chunk)
         t_gen = now_ms() - t0

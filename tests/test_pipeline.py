@@ -211,7 +211,7 @@ def test_synthesize_queue_streaming_audio(tts):
 
     results = tts.synthesize_queue(
         texts, params, lanes=2, chunk_frames=2, refill_slots=2,
-        on_audio=on_audio, stream_history=64)
+        on_audio=on_audio, stream_history=64, stream_cadence=0)
     assert all(r.success for r in results)
     for i, r in enumerate(results):
         streamed = np.concatenate(got[i])[: r.n_frames * 1920]
@@ -220,6 +220,45 @@ def test_synthesize_queue_streaming_audio(tts):
         np.testing.assert_array_equal(streamed, r.audio)
         full = tts.decode_codes(r.codes)
         np.testing.assert_allclose(streamed, full, rtol=2e-3, atol=2e-3)
+
+
+def test_synthesize_queue_streaming_cadence(tts):
+    """Staggered-cadence streaming (r4 default): first decoded chunk emits
+    immediately (TTFA), then fixed cadence-frame segments, remainder at
+    finish; concatenation still equals the full decode when history covers
+    the whole past. Odd cadence/chunk alignment exercises the segment
+    cap/remainder logic."""
+    import dataclasses
+    from qwen3tts_tpu.config import SamplingConfig
+    params = SamplingConfig(temperature=0.0, top_k=0, max_audio_tokens=9)
+    texts = ["Hello.", "Hi there.", "Good day."]
+    got, sizes, fins = {}, {}, {}
+
+    def on_audio(idx, chunk, finished):
+        got.setdefault(idx, []).append(np.asarray(chunk))
+        sizes.setdefault(idx, []).append(len(chunk) // 1920)
+        if finished:
+            fins[idx] = fins.get(idx, 0) + 1
+
+    results = tts.synthesize_queue(
+        texts, params, lanes=2, chunk_frames=2, refill_slots=2,
+        on_audio=on_audio, stream_history=64, stream_cadence=3)
+    assert all(r.success for r in results)
+    for i, r in enumerate(results):
+        streamed = np.concatenate(got[i])[: r.n_frames * 1920]
+        assert fins[i] == 1
+        # first emission is the first decode chunk (<= chunk_frames);
+        # steady segments are exactly `cadence` frames except the finish
+        # remainder
+        assert sizes[i][0] <= 2
+        assert all(s == 3 for s in sizes[i][1:-1])
+        assert sum(sizes[i]) == r.n_frames
+        np.testing.assert_array_equal(streamed, r.audio)
+        full = tts.decode_codes(r.codes)
+        np.testing.assert_allclose(streamed, full, rtol=2e-3, atol=2e-3)
+    # budget-capped request parity under cadence: same codes as a fresh run
+    single = tts.synthesize(texts[0], dataclasses.replace(params))
+    np.testing.assert_array_equal(results[0].codes, single.codes)
 
 
 def test_config_from_model_dir_defaults():

@@ -49,6 +49,9 @@ def main() -> int:
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--max-frames", type=int, default=256)
     ap.add_argument("--stream-history", type=int, default=16)
+    ap.add_argument("--cadence", type=int, default=32,
+                    help="stream_cadence frames per steady emission "
+                         "(0 = vocode every decode chunk, pre-r4)")
     ap.add_argument("--passes", type=int, default=2)
     args = ap.parse_args()
 
@@ -87,6 +90,7 @@ def main() -> int:
         results = tts.synthesize_queue(
             texts, params, lanes=args.lanes, chunk_frames=args.chunk,
             on_audio=on_audio, stream_history=args.stream_history,
+            stream_cadence=args.cadence,
             max_audio_tokens_per_request=budgets)
         wall = time.perf_counter() - t0
         assert all(r.success for r in results), \
@@ -98,6 +102,7 @@ def main() -> int:
         result = {
             "metric": "streaming_ttfa_under_load",
             "lanes": args.lanes, "requests": n, "chunk_frames": args.chunk,
+            "cadence": args.cadence,
             "quant": quant, "wall_s": round(wall, 3),
             "useful_frames": useful,
             "aggregate_fps": round(useful / wall, 1),
