@@ -784,7 +784,7 @@ class ContinuousScheduler:
             self._done_h, np.asarray(self.state.done))
 
     def run(self, max_chunks: int | None = None,
-            on_chunk=None) -> dict[int, np.ndarray]:
+            on_chunk=None, feeder=None) -> dict[int, np.ndarray]:
         """Drive the scheduler until the queue drains and all lanes finish.
         Returns {rid: codes [n_frames, 16]} for every completed request.
 
@@ -792,11 +792,25 @@ class ContinuousScheduler:
         of (rid, new_codes [k, 16], finished) events — the codes-streaming
         hook (pipeline.synthesize_queue turns it into chunked audio via the
         vocoder). Per-request latency is then ~one chunk wall instead of
-        completion wall."""
+        completion wall.
+
+        feeder, if given, models ONLINE ARRIVALS (tools/benchmark_arrivals):
+        called as feeder(idle: bool) at every loop boundary; it submits any
+        requests whose arrival time has come (self.submit) and returns True
+        while arrivals are still pending, which keeps the loop alive when
+        the queue and lanes are momentarily empty. When `idle` is True
+        nothing is running — a real-time feeder should block until its next
+        arrival instead of busy-spinning."""
         done_np = self._done_h
         while True:
             active = any(o is not None for o in self._lane_owner)
-            if not self._queue and not active:
+            if feeder is not None:
+                pending = feeder(not active and not self._queue)
+                if not self._queue and not active:
+                    if not pending:
+                        break
+                    continue
+            elif not self._queue and not active:
                 break
             if self._queue and not self._can_admit():
                 if not active:

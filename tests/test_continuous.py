@@ -328,3 +328,39 @@ def test_host_prngkey_matches_jax():
         np.testing.assert_array_equal(
             cont._host_prngkey(seed), np.asarray(jax.random.PRNGKey(seed)),
             err_msg=f"seed {seed}")
+
+
+def test_feeder_online_arrivals_match_fresh_runs(params):
+    """run(feeder=...) models online arrivals: requests are submitted
+    mid-run (here keyed to chunks_run so the test is deterministic), the
+    loop idles on an empty queue while arrivals are pending instead of
+    exiting, and every request still emits exactly its fresh-run codes."""
+    tp, cp = params
+    reqs = _requests()
+    sched = cont.ContinuousScheduler(
+        tp, cp, TCFG, CCFG, lanes=2, kv_capacity=28, text_bucket=16,
+        chunk_frames=2, refill_slots=2, max_frames=8, temperature=0.0,
+        top_k=0, repetition_penalty=1.05, allow_eos=False)
+    rids = {}
+    release_at = [0, 0, 1, 3, 6, 9]   # arrival "times" in chunks_run units
+    state = {"next": 0, "idle_calls": 0}
+
+    def feeder(idle):
+        if idle:
+            state["idle_calls"] += 1
+        while (state["next"] < len(reqs)
+               and release_at[state["next"]] <= sched.chunks_run):
+            r = reqs[state["next"]]
+            rids[state["next"]] = sched.submit(
+                r["tokens"], r["n_tokens"], np.zeros((H,)),
+                TCFG.english_language_id, seed=r["seed"],
+                max_frames=r["budget"])
+            state["next"] += 1
+        return state["next"] < len(reqs)
+
+    results = sched.run(feeder=feeder)
+    sched.check_host_mirrors()
+    assert state["next"] == len(reqs), "feeder exhausted all arrivals"
+    for i, r in enumerate(reqs):
+        want = _fresh(tp, cp, r, temperature=0.0, top_k=0)
+        np.testing.assert_array_equal(results[rids[i]], want)
