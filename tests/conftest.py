@@ -22,6 +22,33 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+# Quick tier (`pytest -m quick`, target <5 min): a green signal for reviewers
+# without the full compile-bound suite. Whole modules that are cheap, plus one
+# interpret-mode parity test per Pallas kernel.
+_QUICK_MODULES = {
+    "test_sampling.py",
+    "test_vocoder.py",
+    "test_talker.py",
+    "test_io.py",
+    "test_goldens.py",
+}
+_QUICK_TESTS = {
+    ("test_fused_talker.py", "test_dequant_matches_forward_step"),
+    ("test_fused_cp.py", "test_greedy_dequant_matches_xla"),
+    ("test_fused_cp_batched.py", "test_batched_greedy_matches_single_lane"),
+    ("test_pallas_attention.py", "test_matches_xla_reference"),
+    ("test_kernel_prng.py", "test_matches_numpy_mirror"),
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        base = item.name.split("[")[0]
+        if fname in _QUICK_MODULES or (fname, base) in _QUICK_TESTS:
+            item.add_marker(pytest.mark.quick)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _drop_compiled_programs_between_modules():
     """Free compiled executables after each test module.

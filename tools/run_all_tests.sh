@@ -14,7 +14,10 @@ check() { if "$@"; then PASS=$((PASS+1)); else FAIL=$((FAIL+1)); echo "FAILED: $
 export JAX_PLATFORMS=cpu
 export XLA_FLAGS="${XLA_FLAGS:-} --xla_force_host_platform_device_count=8"
 
-section "1. unit + parity tests"
+section "0. quick tier (fast green signal, <5 min)"
+check python -m pytest tests/ -m quick -q
+
+section "1. unit + parity tests (full)"
 check python -m pytest tests/ -q
 
 section "2. CLI smoke tests (synthetic tiny run, WAV must be RIFF)"
