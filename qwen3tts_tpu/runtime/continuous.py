@@ -522,7 +522,9 @@ class ContinuousScheduler:
                  allow_eos: bool = True, fused_cp="auto",
                  fused_talker="auto", mesh=None,
                  compact_threshold: int = 128,
-                 compact_policy: str = "pressure", timing: bool = False):
+                 compact_policy: str = "pressure", timing: bool = False,
+                 overlap_harvest: bool | None = None,
+                 admit_per_boundary: int | None = None):
         P = prefill_window_len(nothink)
         assert kv_capacity >= P + max_frames + chunk_frames, \
             "kv_capacity cannot admit even one request"
@@ -535,7 +537,30 @@ class ContinuousScheduler:
         assert compact_policy in ("pressure", "opportunistic"), compact_policy
         self.compact_policy = compact_policy
         self.nothink, self.allow_eos = nothink, allow_eos
-        self.fused_cp, self.fused_talker = fused_cp, fused_talker
+        # Resolve the fused-kernel gates HERE on concrete params (inside the
+        # jitted decode_chunk/refill they are tracers whose shardings are
+        # invisible): tp-partitioned params fall back to XLA (logged,
+        # decode_loop._check_params_sharding). Under ANY multi-device mesh
+        # the continuous path keeps the XLA fallback — its lane state is
+        # dp-sharded in place (no shard_map wrapper exists for the donated
+        # chunk/refill programs; the one-shot batched path keeps kernels via
+        # decode_loop._generate_batched_shard_map).
+        self.fused_cp = _resolve_fused_cp(fused_cp, cp_params)
+        self.fused_talker = _resolve_fused_talker(fused_talker, talker_params)
+        if mesh is not None and getattr(mesh, "size", 1) > 1 \
+                and (self.fused_cp or self.fused_talker):
+            if fused_cp is True or fused_talker is True:
+                raise ValueError(
+                    "fused kernels cannot run under a multi-device mesh in "
+                    "the continuous scheduler (dp-sharded lane state reaches "
+                    "pl.pallas_call, which has no partitioning rule); pass "
+                    "fused_cp/fused_talker='auto' for the XLA fallback")
+            import sys as _sys
+
+            print("qwen3tts: continuous scheduler on a multi-device mesh — "
+                  "fused kernels off, XLA decode path "
+                  "(parallel/kernel_safety.py)", file=_sys.stderr)
+            self.fused_cp = self.fused_talker = False
         # greedy/use_top_p/top_k are per-SERVER statics (compiled program
         # class, kernel_prng.sampling_flags); temperature/top_p/
         # repetition_penalty are per-REQUEST (state.samp), defaulting to
@@ -544,8 +569,7 @@ class ContinuousScheduler:
         self.defaults = (float(temperature), float(top_p),
                          float(repetition_penalty))
         self.statics = dict(top_k=top_k, greedy=greedy, use_top_p=use_top_p)
-        use_ft = _resolve_fused_talker(fused_talker, talker_params)
-        self.kernel_cb0 = _resolve_kernel_cb0(use_ft)
+        self.kernel_cb0 = _resolve_kernel_cb0(self.fused_talker)
         self.mesh = mesh   # shard lane-state over the mesh's "dp" axis
         self.state = self._shard_state(init_state(
             talker_params, talker_cfg, lanes=lanes, kv_capacity=kv_capacity,
@@ -569,6 +593,29 @@ class ContinuousScheduler:
         self.sessions = 0
         self.compactions = 0
         self.refills = 0
+        # Overlapped harvest (default ON, QWEN3TTS_OVERLAP_HARVEST=0 or
+        # overlap_harvest=False for the serial A/B): run() keeps one decode
+        # chunk in flight and fetches the PREVIOUS chunk's host blob while
+        # the device executes the next — the ~27 ms dispatch + fetch that
+        # was serialized between chunks (~18% of the 512-request run's
+        # wall, r4 decomposition) rides under device compute. Refill
+        # decisions are thereby delayed one chunk (a lane that finished in
+        # the in-flight chunk refills at the NEXT boundary); per-request
+        # outputs are unchanged — splices are exact whenever applied
+        # (tests/test_continuous.py::test_overlap_harvest_matches_serial).
+        if overlap_harvest is None:
+            overlap_harvest = _os.environ.get(
+                "QWEN3TTS_OVERLAP_HARVEST", "1") not in ("0", "false", "off")
+        self.overlap_harvest = bool(overlap_harvest)
+        # Admission pacing (streaming): cap lanes admitted per loop
+        # boundary so a burst of queued requests doesn't splice (and then
+        # first-window vocode) all at one chunk boundary — spreading the
+        # per-request first-emission work across boundaries keeps the
+        # decode cadence flowing and staircases TTFA instead of delaying
+        # every request behind one giant vocode set. None = admit greedily
+        # (the throughput-optimal default for code-only serving).
+        self.admit_per_boundary = (None if admit_per_boundary is None
+                                   else int(admit_per_boundary))
         # opt-in phase decomposition: forces a device sync after every
         # program (extra tunnel round-trips) — diagnosis only, not for
         # headline numbers
@@ -641,20 +688,23 @@ class ContinuousScheduler:
     def _can_admit(self) -> bool:
         return self._n_past_h + self.max_frames + self.K <= self.C
 
-    def _do_refill(self, done_np) -> bool:
+    def _do_refill(self, done_np, limit: int | None = None) -> int:
         """Admit queued requests into idle (unowned) lanes: up to R per call
         normally, or all B lanes in ONE bulk dispatch when more than R lanes
         are idle and queued work covers them (the initial fill previously
         issued ceil(B/R) sequential dispatches — each a ~27 ms tunnel round
         trip). refill() is shape-jitted, so the bulk variant is just a
-        second compiled program (R=B)."""
+        second compiled program (R=B). Returns the number admitted;
+        `limit` caps it (admission pacing)."""
         idle = [b for b in range(self.B)
                 if self._lane_owner[b] is None and bool(done_np[b])]
         n = min(len(idle), len(self._queue))
+        if limit is not None:
+            n = min(n, limit)
         R_eff = self.B if n > self.R else self.R
         n = min(n, R_eff)
         if n == 0 or not self._can_admit():
-            return False
+            return 0
         lane_idx = np.zeros((R_eff,), np.int32)
         mask = np.zeros((R_eff,), bool)
         tokens = np.zeros((R_eff, self.Tb), np.int32)
@@ -690,12 +740,22 @@ class ContinuousScheduler:
             **self.statics)
         self.refills += 1
         self._tock("refill_s", t0)
-        return True
+        return n
 
-    def _harvest(self, res: ChunkResult, on_chunk=None):
+    def _harvest(self, res: ChunkResult, on_chunk=None, owners=None):
+        """Fold one chunk's emissions into its lanes' request buffers.
+
+        `owners`, if given, is the _lane_owner snapshot taken when the
+        chunk was DISPATCHED (the overlapped loop refills lanes while a
+        chunk is still in flight — attributing a stale chunk's latched
+        done flags to a lane's NEW occupant would zero-finalize it).
+        A lane whose snapshot owner is already finalized (rid in results)
+        only carries masked emissions + a latched done bit; it is skipped."""
         # ONE packed fetch (codes|emit|eos|done) — three separate
         # np.asarray calls each paid their own tunnel round trip
         blob = np.asarray(res.host)
+        if owners is None:
+            owners = self._lane_owner
         K, nc = self.K, self.tcfg.n_codebooks
         codes = blob[:, :K * nc].reshape(self.B, K, nc)
         emit = blob[:, K * nc:K * nc + K].astype(bool)
@@ -703,8 +763,8 @@ class ContinuousScheduler:
         self._done_h = done_np
         events = []
         for b in range(self.B):
-            owner = self._lane_owner[b]
-            if owner is None:
+            owner = owners[b]
+            if owner is None or owner.rid in self.results:
                 continue
             rows = codes[b][emit[b]]
             if rows.size:
@@ -716,7 +776,8 @@ class ContinuousScheduler:
                 self.results[owner.rid] = (
                     np.concatenate(owner.codes, axis=0) if owner.codes
                     else np.zeros((0, self.tcfg.n_codebooks), np.int32))
-                self._lane_owner[b] = None
+                if self._lane_owner[b] is owner:
+                    self._lane_owner[b] = None
         if on_chunk is not None and events:
             on_chunk(events)
         return done_np
@@ -800,7 +861,17 @@ class ContinuousScheduler:
         while arrivals are still pending, which keeps the loop alive when
         the queue and lanes are momentarily empty. When `idle` is True
         nothing is running — a real-time feeder should block until its next
-        arrival instead of busy-spinning."""
+        arrival instead of busy-spinning.
+
+        With overlap_harvest (the default) one chunk stays in flight: the
+        previous chunk's host blob is fetched while the device executes the
+        next, and refill decisions run one chunk behind (per-request codes
+        unchanged). overlap_harvest=False is the serial A/B reference."""
+        if self.overlap_harvest:
+            return self._run_overlapped(max_chunks, on_chunk, feeder)
+        return self._run_serial(max_chunks, on_chunk, feeder)
+
+    def _run_serial(self, max_chunks, on_chunk, feeder) -> dict[int, np.ndarray]:
         done_np = self._done_h
         while True:
             active = any(o is not None for o in self._lane_owner)
@@ -830,8 +901,14 @@ class ContinuousScheduler:
             # blocks: one call admits at most R requests, and a chunk can
             # finish far more than R lanes — a single call per boundary
             # starves occupancy (measured 36% at B=64 on a ~120-frame mix)
-            while self._do_refill(done_np):
-                pass
+            cap = self.admit_per_boundary
+            admitted = 0
+            while cap is None or admitted < cap:
+                got = self._do_refill(
+                    done_np, None if cap is None else cap - admitted)
+                if not got:
+                    break
+                admitted += got
             if not any(o is not None for o in self._lane_owner):
                 # queue present but nothing admitted (capacity): drain path
                 # above will reset next loop
@@ -852,4 +929,90 @@ class ContinuousScheduler:
             self._tock("harvest_s", t0)
             if max_chunks is not None and self.chunks_run >= max_chunks:
                 break
+        return self.results
+
+    def _run_overlapped(self, max_chunks, on_chunk, feeder) -> dict[int, np.ndarray]:
+        """run() with one chunk in flight (roadmap r4 #2).
+
+        Enqueue order on the device per boundary: [refill*, compact?,
+        decode_chunk N] — then the host fetches chunk N-1's packed blob
+        while the device executes N. Refill decisions therefore see the
+        done/idle picture as of chunk N-1 (one chunk stale); a lane that
+        finishes inside the in-flight chunk refills one boundary later.
+        Exactness is untouched (the splice is exact at whatever column it
+        lands, rotary shift invariance), only occupancy timing moves — and
+        the serialized ~fetch+decision gap between chunks drops out of the
+        wall. The `timing` diagnostic mode forces per-program syncs and so
+        measures the serial phases, not the overlapped wall."""
+        pending = None      # (ChunkResult, owner snapshot) in flight
+        done_np = self._done_h
+        while True:
+            active = any(o is not None for o in self._lane_owner)
+            idle = not active and not self._queue and pending is None
+            if feeder is not None:
+                arrivals_pending = feeder(idle)
+                if not self._queue and not active:
+                    if pending is not None:
+                        done_np = self._harvest(pending[0], on_chunk, pending[1])
+                        pending = None
+                        continue
+                    if not arrivals_pending:
+                        break
+                    continue
+            elif not self._queue and not active:
+                if pending is not None:
+                    done_np = self._harvest(pending[0], on_chunk, pending[1])
+                    pending = None
+                    continue
+                break
+            if self._queue and not self._can_admit():
+                if pending is not None:
+                    # drain the in-flight chunk before reset/compaction
+                    # decisions: both need fresh owner/done mirrors
+                    done_np = self._harvest(pending[0], on_chunk, pending[1])
+                    pending = None
+                    continue
+                if not active:
+                    self._reset_session()
+                    done_np = self._done_h
+                else:
+                    if not self._try_compact() and \
+                            self.compact_policy == "opportunistic":
+                        self._try_compact(opportunistic=True)
+            elif active and self.compact_policy == "opportunistic":
+                self._try_compact(opportunistic=True)
+            cap = self.admit_per_boundary
+            admitted = 0
+            while cap is None or admitted < cap:
+                got = self._do_refill(
+                    done_np, None if cap is None else cap - admitted)
+                if not got:
+                    break
+                admitted += got
+            if not any(o is not None for o in self._lane_owner):
+                if pending is not None:
+                    done_np = self._harvest(pending[0], on_chunk, pending[1])
+                    pending = None
+                continue
+            t0 = _time.perf_counter()
+            res = decode_chunk(
+                self.tp, self.cp, self.state, talker_cfg=self.tcfg,
+                cp_cfg=self.ccfg, chunk_frames=self.K,
+                fused_cp=self.fused_cp,
+                fused_talker=self.fused_talker, allow_eos=self.allow_eos,
+                **self.statics)
+            self.state = res.state
+            self._n_past_h += self.K
+            self.chunks_run += 1
+            self._tock("decode_s", t0)
+            snapshot = list(self._lane_owner)
+            if pending is not None:
+                t0 = _time.perf_counter()
+                done_np = self._harvest(pending[0], on_chunk, pending[1])
+                self._tock("harvest_s", t0)
+            pending = (res, snapshot)
+            if max_chunks is not None and self.chunks_run >= max_chunks:
+                break
+        if pending is not None:
+            self._harvest(pending[0], on_chunk, pending[1])
         return self.results

@@ -49,39 +49,83 @@ _CP_KERNEL_MAX_LANES = 64
 _BATCHED_FUSED_MAX_LANES = 128
 
 
+_SHARDED_FALLBACK_LOGGED: set = set()
+
+
+def _check_params_sharding(which: str, params, explicit: bool) -> bool:
+    """True when the fused kernel may run on these params: their committed
+    shardings (when inspectable — concrete arrays / ShapeDtypeStructs; the
+    public non-jitted wrappers resolve there) name no mesh axis of size > 1.
+    Partitioned params under "auto" log an XLA fallback once per (kernel,
+    axes); an EXPLICIT fused_*=True raises instead of lowering the
+    single-device pallas_call on sharded operands (parallel/kernel_safety)."""
+    from ..parallel.kernel_safety import partitioned_axes
+
+    axes = partitioned_axes(params)
+    if not axes:
+        return True
+    if explicit:
+        raise ValueError(
+            f"fused_{which}=True but the {which} params are partitioned over "
+            f"mesh axes {sorted(axes)}: the Pallas kernels are single-device "
+            "programs. Replicate the weights (dp-only mesh; the batched path "
+            "then keeps the kernels via shard_map) or pass "
+            f"fused_{which}='auto'/False.")
+    key = (which, tuple(sorted(axes)))
+    if key not in _SHARDED_FALLBACK_LOGGED:
+        _SHARDED_FALLBACK_LOGGED.add(key)
+        import sys
+
+        print(f"qwen3tts: fused {which} kernel off — params partitioned over "
+              f"mesh axes {sorted(axes)}; using the XLA path "
+              "(parallel/kernel_safety.py)", file=sys.stderr)
+    return False
+
+
 def _resolve_fused_talker(fused_talker, talker_params) -> bool:
     """Static choice of the fused talker-step kernel ("auto" => TPU, any
     weight tier — int8/w4 quantized or plain bf16 (the kernels' "bf16" mode
     streams full-precision weights; QWEN3TTS_FUSED_TALKER_BF16=0 reverts the
     full-precision tier to the XLA step). The capacity gate is applied at
-    the use site where kv.shape is known."""
+    the use site where kv.shape is known; the sharding gate
+    (_check_params_sharding) keeps tp-partitioned params off the kernel."""
     if fused_talker == "auto":
         from ..ops.pallas_talker_step import fused_talker_enabled
         from ..ops.quantized_matmul import QuantLinear, QuantLinear4
 
         if not fused_talker_enabled():
             return False
+        if not _check_params_sharding("talker", talker_params, explicit=False):
+            return False
         if isinstance(talker_params.blocks.wqkv, (QuantLinear, QuantLinear4)):
             return True
         return (_os.environ.get("QWEN3TTS_FUSED_TALKER_BF16", "1")
                 not in ("0", "false", "off"))
+    if fused_talker:
+        _check_params_sharding("talker", talker_params, explicit=True)
     return bool(fused_talker)
 
 
 def _resolve_fused_cp(fused_cp, cp_params) -> bool:
     """Static (trace-time) choice of the mega-fused code-predictor kernel.
 
-    "auto" => on when the backend is a TPU and the blocks are int8-quantized
-    (the kernel keeps them VMEM-resident). The kernel samples with the full
-    temperature/top-k/top-p semantics on-device (ops/kernel_prng.py), so
-    top_p no longer gates the fast path. See ops/pallas_code_predictor.py.
+    "auto" => on when the backend is a TPU, the blocks are int8-quantized
+    (the kernel keeps them VMEM-resident), and the params carry no
+    partitioned sharding (_check_params_sharding). The kernel samples with
+    the full temperature/top-k/top-p semantics on-device
+    (ops/kernel_prng.py), so top_p no longer gates the fast path. See
+    ops/pallas_code_predictor.py.
     """
     if fused_cp == "auto":
         from ..ops.pallas_code_predictor import fused_cp_enabled
         from ..ops.quantized_matmul import QuantLinear
 
         return (fused_cp_enabled()
-                and isinstance(cp_params.blocks.wqkv, QuantLinear))
+                and isinstance(cp_params.blocks.wqkv, QuantLinear)
+                and _check_params_sharding("code-predictor", cp_params,
+                                           explicit=False))
+    if fused_cp:
+        _check_params_sharding("code-predictor", cp_params, explicit=True)
     return bool(fused_cp)
 
 
@@ -178,6 +222,7 @@ def generate(
     kv_quant: str = "none",
     greedy=None,
     use_top_p=None,
+    budget=None,   # traced scalar frame cap (EOS emulation / per-request)
 ) -> GenerateResult:
     """Run prefill + the full frame loop. Static args define the compiled
     shape bucket; temperature/top_p/repetition_penalty are traced scalars
@@ -235,8 +280,12 @@ def generate(
         allow_eos=allow_eos, fused_cp=fused_cp, fused_talker=fused_talker,
         kv_strategy=kv_strategy, greedy=greedy, use_top_p=use_top_p)
 
+    limit = (jnp.int32(max_frames) if budget is None
+             else jnp.minimum(jnp.int32(max_frames),
+                              jnp.asarray(budget, jnp.int32)))
+
     def cond(s: _LoopState):
-        return jnp.logical_and(~s.done, s.frame < max_frames)
+        return jnp.logical_and(~s.done, s.frame < limit)
 
     final = lax.while_loop(cond, body, state)
     return GenerateResult(codes=final.codes, n_frames=final.frame, hidden=final.hidden_out)
@@ -332,8 +381,15 @@ def _make_body(
                 repetition_penalty=repetition_penalty, top_k=top_k,
                 suppress_start=suppress_start, eos_id=eos_for_mask,
                 greedy=greedy, use_top_p=use_top_p)
-        if (use_fused_talker and not kv_is_q
-                and s.kv.shape[3] <= MAX_FUSED_CAPACITY):
+        # QWEN3TTS_TALKER_KERNEL selects the single-stream kernel (read at
+        # trace time, like every QWEN3TTS_* gate — A/B in separate
+        # processes): "auto" = v1 (VMEM grid) within MAX_FUSED_CAPACITY,
+        # v2 (HBM grid) beyond; "pipelined" = v4 everywhere (single grid
+        # step, manual weight DMA — no capacity gate); "hbm" = v2
+        # everywhere; "v1" = same as auto.
+        kernel_variant = _os.environ.get("QWEN3TTS_TALKER_KERNEL", "auto")
+        if (use_fused_talker and kernel_variant in ("auto", "v1")
+                and not kv_is_q and s.kv.shape[3] <= MAX_FUSED_CAPACITY):
             from ..ops.pallas_talker_step import fused_talker_step
 
             hidden_f32, head_out, kv = fused_talker_step(
@@ -347,7 +403,9 @@ def _make_body(
             hidden_f32, head_out, kv = fused_talker_step_hbm(
                 talker_params.blocks, talker_cfg, step_embd, s.n_past, s.kv,
                 output_norm=talker_params.output_norm,
-                codec_head=talker_params.codec_head, **sample_kw)
+                codec_head=talker_params.codec_head,
+                variant=("pipelined" if kernel_variant == "pipelined"
+                         else "grid"), **sample_kw)
             hidden = hidden_f32.astype(dtype)
         else:
             hidden, head_out, kv = talker_model.talker_step(
@@ -409,8 +467,11 @@ def generate_from_tokens(
 
     temperature/top_p/repetition_penalty are traced — value changes reuse
     the compiled program; the static sampler-stage flags are derived here
-    (kernel_prng.sampling_flags)."""
+    (kernel_prng.sampling_flags), as are the sharding-aware fused-kernel
+    gates (params are concrete here; inside jit they are tracers)."""
     greedy, use_top_p = sampling_flags(temperature, top_p, greedy, use_top_p)
+    fused_cp = _resolve_fused_cp(fused_cp, cp_params)
+    fused_talker = _resolve_fused_talker(fused_talker, talker_params)
     return _generate_from_tokens_jit(
         talker_params, cp_params, tokens, n_tokens, speaker_embd, language_id,
         key, talker_cfg=talker_cfg, cp_cfg=cp_cfg, max_frames=max_frames,
@@ -452,19 +513,71 @@ def generate_from_tokens_batched(
     keys, *, talker_cfg, cp_cfg, max_frames, kv_capacity, temperature, top_k,
     top_p=1.0, repetition_penalty=1.05, nothink=False, fused_cp="auto",
     fused_talker="auto", allow_eos=True, kv_quant="none", greedy=None,
-    use_top_p=None,
+    use_top_p=None, budgets=None,
 ) -> GenerateResult:
     """See _generate_from_tokens_batched_jit; this wrapper derives the static
     sampler-stage flags from python-float params (kernel_prng.sampling_flags)
-    so temperature/top_p value changes never recompile."""
+    so temperature/top_p value changes never recompile.
+
+    The fused-kernel gates resolve HERE, on concrete params whose committed
+    shardings are inspectable (inside jit they are tracers): tp-partitioned
+    params fall back to XLA; weights replicated on a multi-device mesh keep
+    the kernels by running the whole batched loop under shard_map over "dp"
+    — each device holds the full weights and decodes its own lane slice
+    (parallel/kernel_safety.py)."""
     greedy, use_top_p = sampling_flags(temperature, top_p, greedy, use_top_p)
-    return _generate_from_tokens_batched_jit(
-        talker_params, cp_params, tokens, n_tokens, speaker_embd, language_id,
-        keys, talker_cfg=talker_cfg, cp_cfg=cp_cfg, max_frames=max_frames,
+    fused_cp = _resolve_fused_cp(fused_cp, cp_params)
+    fused_talker = _resolve_fused_talker(fused_talker, talker_params)
+    kw = dict(
+        talker_cfg=talker_cfg, cp_cfg=cp_cfg, max_frames=max_frames,
         kv_capacity=kv_capacity, temperature=temperature, top_k=top_k,
         top_p=top_p, repetition_penalty=repetition_penalty, nothink=nothink,
         fused_cp=fused_cp, fused_talker=fused_talker, allow_eos=allow_eos,
         kv_quant=kv_quant, greedy=greedy, use_top_p=use_top_p)
+    if budgets is not None:
+        kw["budgets"] = budgets
+    if fused_cp or fused_talker:
+        from ..parallel.kernel_safety import dp_kernel_mesh, params_mesh
+
+        mesh = dp_kernel_mesh(talker_params, cp_params, tokens.shape[0])
+        if mesh is not None:
+            return _generate_batched_shard_map(
+                mesh, talker_params, cp_params, tokens, n_tokens,
+                speaker_embd, language_id, keys, kw)
+        if params_mesh(talker_params) is not None:
+            # replicated weights on a multi-device mesh but no usable dp
+            # slicing (no dp axis / batch % dp != 0): a bare jit would hand
+            # possibly-dp-sharded lane tensors to pallas_call — fall back
+            kw["fused_cp"] = kw["fused_talker"] = False
+    return _generate_from_tokens_batched_jit(
+        talker_params, cp_params, tokens, n_tokens, speaker_embd, language_id,
+        keys, **kw)
+
+
+def _generate_batched_shard_map(mesh, talker_params, cp_params, tokens,
+                                n_tokens, speaker_embd, language_id, keys, kw):
+    """Run the kernel-enabled batched loop under shard_map over the mesh's
+    "dp" axis: weights replicated (in_spec P()), every per-lane tensor split
+    on dim 0, so each device traces the single-device Pallas kernels on its
+    local B/dp lanes. Embarrassingly parallel — no collectives inside; the
+    out specs reassemble the global batch."""
+    from jax.sharding import PartitionSpec as _P
+
+    rep, dp = _P(), _P("dp")
+    body = functools.partial(_generate_from_tokens_batched_jit, **kw)
+    mapped = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(rep, rep, dp, dp, dp, dp, dp),
+        # no cross-device values inside (embarrassingly parallel) and
+        # pallas_call outputs carry no varying-mesh-axes annotation
+        out_specs=dp, check_vma=False))
+    # NB jit-of-shard_map, not eager: eager shard_map executes per-shard
+    # Python dispatches, and interpret-mode pallas buffer callbacks
+    # deadlock across the 8 CPU-mesh shard threads (observed hang in
+    # _allocate_buffer); one compiled program also matches how the real
+    # dp deployment would run.
+    return mapped(talker_params, cp_params, tokens, n_tokens, speaker_embd,
+                  language_id, keys)
 
 
 @functools.partial(
@@ -499,6 +612,7 @@ def _generate_from_tokens_batched_jit(
     kv_quant: str = "none",
     greedy: bool = False,
     use_top_p: bool = True,
+    budgets: jnp.ndarray | None = None,   # [B] per-lane frame caps (traced)
 ) -> GenerateResult:
     """Batched multi-utterance generation (BASELINE.json config #5): vmap over
     the full prefill+frame loop. Under vmap the while_loop runs until every
@@ -527,9 +641,10 @@ def _generate_from_tokens_batched_jit(
             temperature=temperature, top_k=top_k, top_p=top_p,
             repetition_penalty=repetition_penalty, nothink=nothink,
             fused_cp=fused_cp, fused_talker=fused_talker, allow_eos=allow_eos,
-            kv_quant=kv_quant, greedy=greedy, use_top_p=use_top_p)
+            kv_quant=kv_quant, greedy=greedy, use_top_p=use_top_p,
+            budgets=budgets)
 
-    def one(tokens_i, n_i, spk_i, lang_i, key_i):
+    def one(tokens_i, n_i, spk_i, lang_i, key_i, budget_i):
         prefill = talker_model.build_prefill(
             talker_params, talker_cfg, tokens_i, n_i, spk_i, lang_i, nothink=nothink)
         return generate(
@@ -538,9 +653,14 @@ def _generate_from_tokens_batched_jit(
             temperature=temperature, top_k=top_k, top_p=top_p,
             repetition_penalty=repetition_penalty, fused_cp=False,
             fused_talker=False, allow_eos=allow_eos, kv_strategy="carried",
-            greedy=greedy, use_top_p=use_top_p)
+            greedy=greedy, use_top_p=use_top_p, budget=budget_i)
 
-    return jax.vmap(one)(tokens, n_tokens, speaker_embd, language_id, keys)
+    if budgets is None:
+        budgets_v = jnp.full((B,), max_frames, jnp.int32)
+    else:
+        budgets_v = jnp.asarray(budgets, jnp.int32)
+    return jax.vmap(one)(tokens, n_tokens, speaker_embd, language_id, keys,
+                         budgets_v)
 
 
 class _BatchedState(NamedTuple):
@@ -563,7 +683,7 @@ def _generate_batched_fused(
     keys, *, talker_cfg, cp_cfg, max_frames, kv_capacity, temperature, top_k,
     top_p, repetition_penalty, nothink, fused_cp=True,
     fused_talker="auto", allow_eos=True,
-    kv_quant="none", greedy=None, use_top_p=None,
+    kv_quant="none", greedy=None, use_top_p=None, budgets=None,
 ) -> GenerateResult:
     """Hand-batched frame loop: per-lane semantics identical to the vmapped
     path (emission masking, latched EOS), but the code predictor runs as ONE
@@ -770,6 +890,14 @@ def _generate_batched_fused(
             )(step_embd, s.kv)
             cb0_next = s.cb0_next
 
+        frame_new = s.frame + emit.astype(jnp.int32)
+        if budgets is not None:
+            # per-lane frame budgets (EOS emulation for synthetic weights /
+            # per-request caps): a lane is done once it has emitted its
+            # budget — the while_loop then exits at max-of-batch budget
+            # instead of the compiled max_frames bucket, exactly like a
+            # batch of real EOS hits (continuous.decode_chunk semantics)
+            done = jnp.logical_or(done, frame_new >= budgets)
         return _BatchedState(
             it=s.it + 1,
             n_past=s.n_past + 1,
@@ -778,7 +906,7 @@ def _generate_batched_fused(
             last_hidden=hidden,
             kv=kv,
             seen=seen,
-            frame=s.frame + emit.astype(jnp.int32),
+            frame=frame_new,
             codes=codes,
             hidden_out=hidden_out,
             keys=keys_next,
@@ -882,8 +1010,10 @@ def generate_chunk(
     """Advance the decode loop by up to chunk_frames emitted frames. The
     state is donated (the KV cache updates in place across chunks); read
     state.frame/state.done/state.codes between chunks. Sampling params are
-    traced; stage flags derived here (kernel_prng.sampling_flags)."""
+    traced; stage flags and the sharding-aware kernel gates derived here."""
     greedy, use_top_p = sampling_flags(temperature, top_p, greedy, use_top_p)
+    fused_cp = _resolve_fused_cp(fused_cp, cp_params)
+    fused_talker = _resolve_fused_talker(fused_talker, talker_params)
     return _generate_chunk_jit(
         talker_params, cp_params, prefill, state, talker_cfg=talker_cfg,
         cp_cfg=cp_cfg, chunk_frames=chunk_frames, max_frames=max_frames,
@@ -943,8 +1073,11 @@ def generate_start(
     greedy=None, use_top_p=None,
 ):
     """Prefill + the FIRST chunk in one dispatch (time-to-first-audio path).
-    Sampling params traced; stage flags derived here."""
+    Sampling params traced; stage flags and the sharding-aware kernel gates
+    derived here."""
     greedy, use_top_p = sampling_flags(temperature, top_p, greedy, use_top_p)
+    fused_cp = _resolve_fused_cp(fused_cp, cp_params)
+    fused_talker = _resolve_fused_talker(fused_talker, talker_params)
     return _generate_start_jit(
         talker_params, cp_params, tokens, n_tokens, speaker_embd, language_id,
         key, talker_cfg=talker_cfg, cp_cfg=cp_cfg, chunk_frames=chunk_frames,

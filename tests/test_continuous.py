@@ -348,6 +348,15 @@ def test_feeder_online_arrivals_match_fresh_runs(params):
     def feeder(idle):
         if idle:
             state["idle_calls"] += 1
+            # the run-loop contract: on idle a real-time feeder BLOCKS until
+            # its next arrival. This feeder keys releases to chunks_run
+            # (deterministic), which freezes when everything idles — so
+            # "blocking" here is jumping the clock to the next release
+            # (otherwise the loop would spin; the overlapped loop's delayed
+            # refills reach the all-idle state on trajectories the serial
+            # loop didn't).
+            if state["next"] < len(reqs):
+                release_at[state["next"]] = sched.chunks_run
         while (state["next"] < len(reqs)
                and release_at[state["next"]] <= sched.chunks_run):
             r = reqs[state["next"]]
@@ -364,3 +373,30 @@ def test_feeder_online_arrivals_match_fresh_runs(params):
     for i, r in enumerate(reqs):
         want = _fresh(tp, cp, r, temperature=0.0, top_k=0)
         np.testing.assert_array_equal(results[rids[i]], want)
+
+
+def test_overlap_harvest_matches_serial(params):
+    """The overlapped run loop (one chunk in flight, refill decisions one
+    chunk stale — roadmap r4 #2) must produce EXACTLY the serial loop's
+    per-request codes on the same submissions, greedy and sampled, and
+    still leave host mirrors == device state after the drain."""
+    tp, cp = params
+    reqs = _requests()
+    for temperature, top_k in ((0.0, 0), (0.9, 5)):
+        outs = {}
+        for overlap in (False, True):
+            sched = cont.ContinuousScheduler(
+                tp, cp, TCFG, CCFG, lanes=2, kv_capacity=28, text_bucket=16,
+                chunk_frames=2, refill_slots=2, max_frames=8,
+                temperature=temperature, top_k=top_k,
+                repetition_penalty=1.05, allow_eos=False,
+                overlap_harvest=overlap)
+            assert sched.overlap_harvest is overlap
+            rids = [sched.submit(r["tokens"], r["n_tokens"], np.zeros((H,)),
+                                 TCFG.english_language_id, seed=r["seed"],
+                                 max_frames=r["budget"]) for r in reqs]
+            results = sched.run()
+            sched.check_host_mirrors()
+            outs[overlap] = [results[rid] for rid in rids]
+        for a, b in zip(outs[False], outs[True]):
+            np.testing.assert_array_equal(a, b)

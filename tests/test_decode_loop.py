@@ -188,3 +188,33 @@ def test_loop_dynamic_sampling_params_no_recompile(params):
         tp, cp, *args, temperature=1.3, top_p=0.5, repetition_penalty=1.4,
         **kw)
     assert DL._generate_from_tokens_jit._cache_size() == n0
+
+
+def test_batched_budgets_truncate_exactly(params):
+    """Per-lane `budgets` (EOS emulation for the static batched path —
+    benchmark_arrivals' online static server): every lane must emit
+    exactly its budget, and those codes must equal the unbudgeted run's
+    first budget frames lane-for-lane (the budget latch only masks
+    emissions, it never perturbs another lane's sampling)."""
+    tp, cp = params
+    B, Tb, maxF = 3, 16, 6
+    rng = np.random.default_rng(3)
+    tokens = np.zeros((B, Tb), np.int32)
+    for b in range(B):
+        tokens[b, :11] = rng.integers(2, 50, size=11)
+    args = (jnp.asarray(tokens), jnp.full((B,), 11, jnp.int32),
+            jnp.zeros((B, TCFG.hidden_size), jnp.float32),
+            jnp.full((B,), 2050, jnp.int32),
+            jax.random.split(jax.random.PRNGKey(4), B))
+    kw = dict(talker_cfg=TCFG, cp_cfg=CCFG, max_frames=maxF, kv_capacity=32,
+              temperature=0.9, top_k=5, repetition_penalty=1.05,
+              allow_eos=False)
+    full = DL.generate_from_tokens_batched(tp, cp, *args, **kw)
+    budgets = np.array([2, 6, 4], np.int32)
+    capped = DL.generate_from_tokens_batched(
+        tp, cp, *args, budgets=jnp.asarray(budgets), **kw)
+    np.testing.assert_array_equal(np.asarray(capped.n_frames), budgets)
+    for b in range(B):
+        np.testing.assert_array_equal(
+            np.asarray(capped.codes[b, : budgets[b]]),
+            np.asarray(full.codes[b, : budgets[b]]))
