@@ -19,10 +19,11 @@ After the last layer the kernel also applies the output RMSNorm and the
 codec LM head (reference :1837-1845), so the decode loop gets
 (normed hidden, logits) in the same call.
 
-The KV cache block [LPS, 2, Hkv, C, D] rides the grid as input AND output
-(aliased): read, row-updated, written back. That bounds this kernel to
-moderate capacities (the whole block must fit in VMEM twice); the decode
-loop keeps the existing XLA+flash-attention path for long-form buckets.
+The v1 KV cache block [LPS, 2, Hkv, C, D] rides the grid as input AND
+output (aliased): read, row-updated, written back. That bounds v1 to
+moderate capacities (the whole block must fit in VMEM twice); long-form
+buckets route to the HBM-cache variants below (v2 grid, v4 pipelined),
+whose valid-prefix chunked DMA has no capacity gate.
 
 `layers_per_step` (LPS) controls how many layers one grid step processes:
 more layers per step amortizes per-grid-step overhead against more VMEM.
@@ -40,12 +41,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-# KV blocks (2*Hkv*C*D per layer group) ride the grid in and out: the
-# kernel's KV traffic scales with CAPACITY, the XLA+flash fallback's with the
-# valid prefix. Measured crossover: at C=1280 the fused kernel LOSES (221 vs
-# 360 frames/s on the 1024-frame long-form run), at C<=512 it wins big — so
-# the gate stays at 1024. A valid-prefix chunked-DMA variant would remove
-# the trade-off.
+# v1's KV blocks (2*Hkv*C*D per layer group) ride the grid in and out, so
+# ITS KV traffic scales with CAPACITY; the HBM variants' (v2 grid /
+# v4 pipelined) scale with the valid prefix and have no capacity gate.
+# This constant only selects v1-vs-HBM in the "auto" kernel policy
+# (runtime/decode_loop._make_body): at C<=512 v1 measured 1.23 vs v2's
+# 1.35 ms/step; at C=2304 v2 runs 1.36 vs XLA 1.82 (long-form never falls
+# back to XLA — the r1-era crossover note about 221 vs 360 f/s predates
+# v2). QWEN3TTS_TALKER_KERNEL=pipelined routes v4 everywhere.
 MAX_FUSED_CAPACITY = 1024
 DEFAULT_LAYERS_PER_STEP = 2
 
@@ -65,21 +68,11 @@ def _rms(x, w, eps):
     return x * lax.rsqrt(var + eps) * w.astype(jnp.float32)
 
 
-def _make_mm(mode):
-    """In-kernel x[1,K] @ W for sub-layer j of the grid step's weight block.
-
-    Modes: "w8a8" int8 weights / dynamic per-token int8 activations (int32
-    MXU accum); "dequant" int8 weights dequantized to f32 (test reference);
-    "w4bf16"/"w4dequant" the same pair for split-half nibble-packed int4
-    weights with per-K-group scales (QuantLinear4): the byte block [K/2, N]
-    unpacks into two contiguous halves (mask/shift only, no interleave),
-    each dequantized in-register with its group-broadcast scales and dotted
-    in bf16 ("w4bf16") or f32 ("w4dequant") — halved HBM weight traffic; the
-    group scales are what keep the 4-bit tier servable (cosine >= 0.99).
-
-    `mode` may also be a 4-tuple of per-weight modes in (wqkv, wo, w_gateup,
-    w_down) order — the MIXED tier (attn int8 / ffn u4) resolves there; call
-    sites select their slot via mm's `which` argument."""
+def _make_mm_values(mode):
+    """Value-level in-kernel x[M,K] @ W (see _make_mm for the mode table):
+    takes the already-loaded weight block `wq` and scale rows `ws` — the
+    grid kernels slice them from blocked refs (_make_mm), the pipelined v4
+    kernel from its manually-DMA'd scratch slabs."""
     modes = (mode,) * 4 if isinstance(mode, str) else tuple(mode)
 
     def quant_act(x):
@@ -94,10 +87,9 @@ def _make_mm(mode):
         return jax.lax.dot_general(
             a, b, (((1,), (0,)), ((), ())), preferred_element_type=accum_dtype)
 
-    def mm(x, wq_ref, ws_ref, j, which=0):
+    def mmv(x, wq, ws, which=0):
         mode = modes[which]
-        wq = wq_ref[0, j]
-        ws = ws_ref[0, j].astype(jnp.float32)
+        ws = ws.astype(jnp.float32)
         if mode in ("w4bf16", "w4dequant"):
             Kh, N = wq.shape
             G = ws.shape[0] // 2        # ws stacks [scales; zeros], G rows each
@@ -131,6 +123,29 @@ def _make_mm(mode):
             # a dummy ones row — unquantized blocks have no scales)
             return dot(x.astype(wq.dtype), wq, jnp.float32)
         return dot(x, wq.astype(jnp.float32) * ws, jnp.float32)
+
+    return mmv
+
+
+def _make_mm(mode):
+    """In-kernel x[1,K] @ W for sub-layer j of the grid step's weight block.
+
+    Modes: "w8a8" int8 weights / dynamic per-token int8 activations (int32
+    MXU accum); "dequant" int8 weights dequantized to f32 (test reference);
+    "w4bf16"/"w4dequant" the same pair for split-half nibble-packed int4
+    weights with per-K-group scales (QuantLinear4): the byte block [K/2, N]
+    unpacks into two contiguous halves (mask/shift only, no interleave),
+    each dequantized in-register with its group-broadcast scales and dotted
+    in bf16 ("w4bf16") or f32 ("w4dequant") — halved HBM weight traffic; the
+    group scales are what keep the 4-bit tier servable (cosine >= 0.99).
+
+    `mode` may also be a 4-tuple of per-weight modes in (wqkv, wo, w_gateup,
+    w_down) order — the MIXED tier (attn int8 / ffn u4) resolves there; call
+    sites select their slot via mm's `which` argument."""
+    mmv = _make_mm_values(mode)
+
+    def mm(x, wq_ref, ws_ref, j, which=0):
+        return mmv(x, wq_ref[0, j], ws_ref[0, j], which)
 
     return mm
 
@@ -747,9 +762,221 @@ def _make_kernel_hbm(cfg, C, *, mode, kv_dtype, lps, with_head, chunk,
     return kernel
 
 
+def _make_kernel_hbm_pipelined(cfg, C, *, mode, kv_dtype, with_head, chunk,
+                               kv_int8=False, sample=None, depth=2):
+    """v4: ONE grid step for all 28 layers — the layer loop is a
+    lax.fori_loop and the per-layer weight blocks are DMA'd manually from
+    HBM into double-buffered VMEM slabs (layer l+1's four weight copies are
+    issued before layer l's compute begins). Rationale: the gridded v1/v2
+    kernels pay ~28 us of non-overlapped per-grid-step work (measured r3/r4
+    decomposition — 14 steps at lps=2 is ~0.39 ms of the 1.23 ms int8
+    step); a single grid step removes the per-step entry/exit entirely
+    while keeping the same valid-prefix chunked KV DMA as v2 (traffic
+    proportional to n_past, no capacity gate). Each layer's first KV chunk
+    is issued alongside its weight wait, ahead of the qkv matmul that v2
+    serialized it behind."""
+    H = cfg.hidden_size
+    L = cfg.n_layers
+    Hq, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    G = Hq // Hkv
+    F = cfg.intermediate_size
+    eps = cfg.rms_norm_eps
+    scale = D ** -0.5
+    mmv = _make_mm_values(mode)
+    cdt = jnp.bfloat16 if kv_int8 else kv_dtype
+
+    def kernel(n_past_ref, x_in_ref, cos_ref, sin_ref,
+               attn_n_ref, q_n_ref, k_n_ref, ffn_n_ref,
+               wqkv_q, wqkv_s, wo_q, wo_s, wgu_q, wgu_s, wd_q, wd_s,
+               *rest):
+        rest = list(rest)
+        if with_head:
+            out_n_ref, head_ref = rest[0], rest[1]
+            del rest[:2]
+            if sample is not None:
+                seen_ref, samp_ref, seed_ref = rest[0], rest[1], rest[2]
+                del rest[:3]
+        kv_hbm = rest.pop(0)
+        kvs_hbm = rest.pop(0) if kv_int8 else None
+        kvrow_ref = rest.pop(0)
+        hid_ref = rest.pop(0)
+        logits_ref = rest.pop(0) if with_head else None
+        sc_heads, sc_flat = rest[0], rest[1]
+        wbufs = tuple(rest[2:6])
+        wsem = rest[6]
+        kv_buf, sem = rest[7], rest[8]
+        if kv_int8:
+            sc_buf, sem_s = rest[9], rest[10]
+
+        n_past = n_past_ref[0, 0]
+        trip = lax.div(n_past + (chunk - 1), jnp.int32(chunk))
+        whbm = (wqkv_q, wo_q, wgu_q, wd_q)
+
+        def w_copy(l, slot, i):
+            return pltpu.make_async_copy(
+                whbm[i].at[l], wbufs[i].at[slot], wsem.at[slot, i])
+
+        def w_start(l, slot):
+            for i in range(4):
+                w_copy(l, slot, i).start()
+
+        def w_wait(l, slot):
+            for i in range(4):
+                w_copy(l, slot, i).wait()
+
+        # prologue: fill depth-1 slots so the DMA queue stays >=depth-1
+        # layers deep throughout (depth 2 = classic double buffering)
+        for i in range(depth - 1):
+            w_start(jnp.int32(i), jnp.int32(i))
+
+        cos = cos_ref[...].astype(jnp.float32)
+        sin = sin_ref[...].astype(jnp.float32)
+
+        def rope(t):
+            half = D // 2
+            t1, t2 = t[:, :half], t[:, half:]
+            return jnp.concatenate(
+                [t1 * cos - t2 * sin, t1 * sin + t2 * cos], axis=-1)
+
+        def kv_dma(l, c, slot):
+            off = pl.multiple_of(c * chunk, chunk)
+            cps = [pltpu.make_async_copy(
+                kv_hbm.at[l, :, :, pl.ds(off, chunk), :],
+                kv_buf.at[slot], sem.at[slot])]
+            if kv_int8:
+                cps.append(pltpu.make_async_copy(
+                    kvs_hbm.at[l, :, :, pl.ds(off, chunk)],
+                    sc_buf.at[slot], sem_s.at[slot]))
+            return cps
+
+        def layer_body(l, x):
+            slot = lax.rem(l, depth)
+
+            # prefetch: the slot freed last layer refills depth-1 layers
+            # ahead + this layer's first KV chunk rides alongside
+            @pl.when(l + depth - 1 < L)
+            def _():
+                w_start(l + depth - 1, lax.rem(l + depth - 1, depth))
+
+            @pl.when(trip > 0)
+            def _():
+                for cp in kv_dma(l, jnp.int32(0), jnp.int32(0)):
+                    cp.start()
+
+            w_wait(l, slot)
+            h = _rms(x, attn_n_ref[l], eps)
+            qkv = mmv(h, wbufs[0][slot], wqkv_s[l], 0)
+
+            for i in range(Hq + 2 * Hkv):
+                sc_heads[i:i + 1, :] = qkv[:, i * D:(i + 1) * D]
+            q = _rms(sc_heads[0:Hq, :], q_n_ref[l], eps)
+            k = _rms(sc_heads[Hq:Hq + Hkv, :], k_n_ref[l], eps)
+            v = sc_heads[Hq + Hkv:Hq + 2 * Hkv, :]
+            q = rope(q)
+            k = rope(k)
+
+            kvrow_ref[l, 0] = k.astype(kv_dtype)
+            kvrow_ref[l, 1] = v.astype(kv_dtype)
+
+            qc = q.astype(cdt)
+            kc = k.astype(cdt)
+            vc = v.astype(cdt)
+
+            def chunk_body(c, carry):
+                m, lsum, acc = carry
+                cslot = lax.rem(c, 2)
+
+                @pl.when(c + 1 < trip)
+                def _():
+                    for cp in kv_dma(l, c + 1, 1 - cslot):
+                        cp.start()
+
+                for cp in kv_dma(l, c, cslot):
+                    cp.wait()
+                col = c * chunk + lax.broadcasted_iota(
+                    jnp.int32, (G, chunk), 1)
+                valid = col < n_past
+                ms, ls, accs = [], [], []
+                for hh in range(Hkv):
+                    rows = slice(hh * G, (hh + 1) * G)
+                    s = jax.lax.dot_general(
+                        qc[rows], kv_buf[cslot, 0, hh].astype(cdt),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) * scale
+                    if kv_int8:
+                        s = s * sc_buf[cslot, 0, hh:hh + 1]
+                    s = jnp.where(valid, s, NEG_INF)
+                    m_new = jnp.maximum(
+                        m[hh], jnp.max(s, axis=-1, keepdims=True))
+                    p = jnp.exp(s - m_new)
+                    alpha = jnp.exp(m[hh] - m_new)
+                    ls.append((alpha * lsum[hh]
+                               + jnp.sum(p, axis=-1, keepdims=True))[None])
+                    pv = p * sc_buf[cslot, 1, hh:hh + 1] if kv_int8 else p
+                    accs.append((acc[hh] * alpha + jax.lax.dot_general(
+                        pv.astype(cdt), kv_buf[cslot, 1, hh].astype(cdt),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))[None])
+                    ms.append(m_new[None])
+                return (jnp.concatenate(ms, axis=0),
+                        jnp.concatenate(ls, axis=0),
+                        jnp.concatenate(accs, axis=0))
+
+            m0 = jnp.full((Hkv, G, 1), NEG_INF, jnp.float32)
+            l0 = jnp.zeros((Hkv, G, 1), jnp.float32)
+            a0 = jnp.zeros((Hkv, G, D), jnp.float32)
+            m, lsum, acc = lax.fori_loop(0, trip, chunk_body, (m0, l0, a0))
+
+            # fold in the current step's K/V as one extra attention column
+            for hh in range(Hkv):
+                rows = slice(hh * G, (hh + 1) * G)
+                s_cur = jnp.sum(
+                    qc[rows].astype(jnp.float32)
+                    * kc[hh:hh + 1].astype(jnp.float32),
+                    axis=-1, keepdims=True) * scale
+                m_fin = jnp.maximum(m[hh], s_cur)
+                p_cur = jnp.exp(s_cur - m_fin)
+                alpha = jnp.exp(m[hh] - m_fin)
+                l_fin = alpha * lsum[hh] + p_cur
+                o = (acc[hh] * alpha
+                     + p_cur * vc[hh:hh + 1].astype(jnp.float32))
+                o = o / jnp.maximum(l_fin, 1e-30)
+                for gg in range(G):
+                    sc_flat[0:1, (hh * G + gg) * D:(hh * G + gg + 1) * D] = \
+                        o[gg:gg + 1, :]
+
+            x = x + mmv(sc_flat[...], wbufs[1][slot], wo_s[l], 1)
+            h = _rms(x, ffn_n_ref[l], eps)
+            gu = mmv(h, wbufs[2][slot], wgu_s[l], 2)
+            gate = gu[:, :F]
+            gate = gate / (1.0 + jnp.exp(-gate))
+            x = x + mmv(gate * gu[:, F:], wbufs[3][slot], wd_s[l], 3)
+            return x
+
+        x = lax.fori_loop(
+            0, L, layer_body, x_in_ref[...].astype(jnp.float32))
+
+        if with_head:
+            normed = _rms(x, out_n_ref[...], eps)
+            hid_ref[...] = normed
+            logits = jax.lax.dot_general(
+                normed.astype(head_ref.dtype), head_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if sample is None:
+                logits_ref[...] = logits
+            else:
+                _sample_epilogue(logits, seen_ref, samp_ref, seed_ref,
+                                 sample, logits_ref)
+        else:
+            hid_ref[...] = x
+
+    return kernel
+
+
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "mode", "layers_per_step", "chunk", "top_k", "suppress_start",
-    "eos_id", "greedy", "use_top_p", "interpret"))
+    "eos_id", "greedy", "use_top_p", "interpret", "variant"))
 def fused_talker_step_hbm(
     blocks,                    # BlockParams with QuantLinear projections
     cfg,                       # TalkerConfig
@@ -771,8 +998,15 @@ def fused_talker_step_hbm(
     greedy: bool = False,
     use_top_p: bool = True,
     interpret: bool = False,
+    variant: str = "grid",
 ):
     """One talker decode step, KV cache resident in HBM (no capacity gate).
+
+    variant="grid" is the v2 kernel (grid over layer groups, Mosaic
+    pipelines the blocked weight specs); variant="pipelined" is v4: one
+    grid step, lax.fori_loop over layers, manual double-buffered weight
+    DMA — removes the ~28 us/grid-step overhead (see
+    _make_kernel_hbm_pipelined).
 
     Same contract as fused_talker_step: returns (hidden, kv) or
     (normed_hidden, logits, kv) with the cache row at n_past updated (the
@@ -822,9 +1056,19 @@ def fused_talker_step_hbm(
               * cfg.rope_theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half))
     cos, sin = jnp.cos(angles)[None, :], jnp.sin(angles)[None, :]
 
-    kernel = _make_kernel_hbm(cfg, C, mode=mode, kv_dtype=row_dtype, lps=lps,
-                              with_head=with_head, chunk=chunk,
-                              kv_int8=kv_int8, sample=sample)
+    pipelined = variant == "pipelined"
+    if pipelined:
+        # weight-slab pipeline depth: 3 for sub-bf16 weight bytes (deeper
+        # DMA queue chases the chip's burst bandwidth; 3 x ~15.7 MB int8
+        # slabs fit the 115 MB budget), 2 for bf16 (31.4 MB slabs)
+        depth = 2 if mode == "bf16" else 3
+        kernel = _make_kernel_hbm_pipelined(
+            cfg, C, mode=mode, kv_dtype=row_dtype, with_head=with_head,
+            chunk=chunk, kv_int8=kv_int8, sample=sample, depth=depth)
+    else:
+        kernel = _make_kernel_hbm(
+            cfg, C, mode=mode, kv_dtype=row_dtype, lps=lps,
+            with_head=with_head, chunk=chunk, kv_int8=kv_int8, sample=sample)
     vmem_full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def blk(shape):
@@ -836,7 +1080,26 @@ def fused_talker_step_hbm(
     def grp(a):
         return a.reshape((L // lps, lps) + a.shape[1:])
 
-    wspecs, wops = _weight_specs_and_operands(blocks, blk, grp)
+    if pipelined:
+        # weights stay in HBM (manual per-layer DMA); scales are small and
+        # VMEM-resident with untiled [L, rows, N] layouts for dynamic-l reads
+        wspecs, wops, wslabs = [], [], []
+        for w in (blocks.wqkv, blocks.wo, blocks.w_gateup, blocks.w_down):
+            from .quantized_matmul import QuantLinear4
+
+            if isinstance(w, QuantLinear4):
+                q = w.q
+                sz = jnp.concatenate([w.scale, w.zero], axis=-2)
+            elif hasattr(w, "q"):
+                q, sz = w.q, w.scale
+            else:   # plain bf16 weights: dummy ones scale row
+                q = w
+                sz = jnp.ones(w.shape[:-2] + (1, 128), jnp.float32)
+            wspecs += [pl.BlockSpec(memory_space=pl.ANY), vmem_full]
+            wops += [q, sz]
+            wslabs.append(pltpu.VMEM((depth,) + q.shape[1:], q.dtype))
+    else:
+        wspecs, wops = _weight_specs_and_operands(blocks, blk, grp)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),    # n_past (1,1)
         vmem_full, vmem_full, vmem_full,          # x, cos, sin
@@ -864,39 +1127,67 @@ def fused_talker_step_hbm(
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))   # row scales
         operands.append(kv[1])
 
-    out_specs = [
-        blk((2, Hkv, D)),                          # current-step K/V rows
-        pl.BlockSpec((1, H), lambda g: (0, 0), memory_space=pltpu.VMEM),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((L // lps, lps, 2, Hkv, D), row_dtype),
-        jax.ShapeDtypeStruct((1, H), jnp.float32),
-    ]
-    if with_head and sample_cb0:
-        out_specs.append(
-            pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.int32))
-    elif with_head:
-        out_specs.append(
-            pl.BlockSpec((1, Vc), lambda g: (0, 0), memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((1, Vc), jnp.float32))
-
-    scratch = [
-        pltpu.VMEM((1, H), jnp.float32),                 # x carry
-        pltpu.VMEM((Hq + 2 * Hkv, D), jnp.float32),      # head split
-        pltpu.VMEM((1, Hq * D), jnp.float32),            # head merge
-        pltpu.VMEM((2, 2, Hkv, chunk, D), kv_arr.dtype),  # KV chunk x2
-        pltpu.SemaphoreType.DMA((2,)),
-    ]
-    if kv_int8:
-        scratch += [
-            pltpu.VMEM((2, 2, Hkv, chunk), jnp.float32),  # scale chunk x2
+    if pipelined:
+        out_specs = [vmem_full, vmem_full]
+        out_shape = [
+            jax.ShapeDtypeStruct((L, 2, Hkv, D), row_dtype),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+        ]
+        if with_head and sample_cb0:
+            out_specs.append(vmem_full)
+            out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.int32))
+        elif with_head:
+            out_specs.append(vmem_full)
+            out_shape.append(jax.ShapeDtypeStruct((1, Vc), jnp.float32))
+        scratch = [
+            pltpu.VMEM((Hq + 2 * Hkv, D), jnp.float32),      # head split
+            pltpu.VMEM((1, Hq * D), jnp.float32),            # head merge
+            *wslabs,                                # weight slabs x depth
+            pltpu.SemaphoreType.DMA((depth, 4)),    # weight sems
+            pltpu.VMEM((2, 2, Hkv, chunk, D), kv_arr.dtype),  # KV chunk x2
             pltpu.SemaphoreType.DMA((2,)),
         ]
+        if kv_int8:
+            scratch += [
+                pltpu.VMEM((2, 2, Hkv, chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        grid = (1,)
+    else:
+        out_specs = [
+            blk((2, Hkv, D)),                          # current-step K/V rows
+            pl.BlockSpec((1, H), lambda g: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((L // lps, lps, 2, Hkv, D), row_dtype),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+        ]
+        if with_head and sample_cb0:
+            out_specs.append(
+                pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.int32))
+        elif with_head:
+            out_specs.append(
+                pl.BlockSpec((1, Vc), lambda g: (0, 0), memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((1, Vc), jnp.float32))
+
+        scratch = [
+            pltpu.VMEM((1, H), jnp.float32),                 # x carry
+            pltpu.VMEM((Hq + 2 * Hkv, D), jnp.float32),      # head split
+            pltpu.VMEM((1, Hq * D), jnp.float32),            # head merge
+            pltpu.VMEM((2, 2, Hkv, chunk, D), kv_arr.dtype),  # KV chunk x2
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        if kv_int8:
+            scratch += [
+                pltpu.VMEM((2, 2, Hkv, chunk), jnp.float32),  # scale chunk x2
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        grid = (L // lps,)
 
     outs = pl.pallas_call(
         kernel,
-        grid=(L // lps,),
+        grid=grid,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),

@@ -865,3 +865,63 @@ def test_mixed_decode_loop_routes_fused(mixedsetup):
         repetition_penalty=1.05, fused_talker=True, fused_cp=False)
     assert int(out.n_frames) > 0
     assert np.isfinite(np.asarray(out.hidden)).all()
+
+
+@pytest.mark.parametrize("n_past", [0, 7, 31])
+def test_pipelined_variant_matches_forward_step(setup, n_past):
+    """v4 (single grid step, manual double-buffered weight DMA + the v2
+    valid-prefix chunked KV DMA) matches the XLA step at the empty-prefix
+    and full-capacity edges."""
+    cfg, params, qblocks, deq_blocks, kv, x = setup
+    kv0 = jnp.zeros_like(kv) if n_past == 0 else kv
+    hidden_ref, kv_ref = forward_step(
+        deq_blocks, talker_model.core_config(cfg), x, jnp.int32(n_past), kv0)
+    hidden_k, kv_k = pts.fused_talker_step_hbm(
+        qblocks, cfg, x, jnp.int32(n_past), kv0, mode="dequant", chunk=8,
+        variant="pipelined", interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(hidden_k), np.asarray(hidden_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(kv_k), np.asarray(kv_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_pipelined_head_matches_grid(setup):
+    """v4 with the fused output-norm+head (and w8a8 weights) matches v2
+    exactly — identical math, different DMA orchestration."""
+    cfg, params, qblocks, deq_blocks, kv, x = setup
+    n_past = jnp.int32(5)
+    for mode in ("dequant", "w8a8"):
+        h1, l1, kv1 = pts.fused_talker_step_hbm(
+            qblocks, cfg, x, n_past, kv, mode=mode, chunk=8,
+            output_norm=params.output_norm, codec_head=params.codec_head,
+            interpret=True)
+        h2, l2, kv2 = pts.fused_talker_step_hbm(
+            qblocks, cfg, x, n_past, kv, mode=mode, chunk=8,
+            variant="pipelined", output_norm=params.output_norm,
+            codec_head=params.codec_head, interpret=True)
+        np.testing.assert_allclose(np.asarray(h2), np.asarray(h1),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(kv2), np.asarray(kv1),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_pipelined_int8_kv_matches_grid(setup):
+    """v4 with the int8 (q, scale) KV cache matches v2's int8 path."""
+    from qwen3tts_tpu.ops.kv_quant import quantize_kv
+
+    cfg, params, qblocks, deq_blocks, kv, x = setup
+    n_past = jnp.int32(9)
+    kv_q = quantize_kv(kv)
+    h1, kv1 = pts.fused_talker_step_hbm(
+        qblocks, cfg, x, n_past, kv_q, mode="dequant", chunk=8,
+        interpret=True)
+    h2, kv2 = pts.fused_talker_step_hbm(
+        qblocks, cfg, x, n_past, kv_q, mode="dequant", chunk=8,
+        variant="pipelined", interpret=True)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h1),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(kv2, kv1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

@@ -97,6 +97,8 @@ def main() -> None:
         kv = jnp.zeros((cfg.n_layers, 2, cfg.n_kv_heads, C, cfg.head_dim), jnp.bfloat16)
         variants = [
             ("v2 ", make_run(lambda b, x, kv, i: fused_talker_step_hbm(b, cfg, x, i, kv))),
+            ("v4 ", make_run(lambda b, x, kv, i: fused_talker_step_hbm(
+                b, cfg, x, i, kv, variant="pipelined"))),
             ("XLA", make_run(lambda b, x, kv, i: forward_step(b, ccfg, x, i, kv))),
         ]
         if C <= 1024:
