@@ -141,11 +141,15 @@ def _fetch_audio(dev_audio) -> np.ndarray:
     return host
 
 
-def vocode_batched(vparams, cfg, codes, n_frames):
-    """Batch vocode in <=_VOCODE_MAX_LANES-lane dispatches (the serving
-    path: B lanes -> ceil(B/16) dispatches; codes [B, Fb, 16])."""
+def vocode_batched_groups(vparams, cfg, codes, n_frames):
+    """Batch vocode in <=_VOCODE_MAX_LANES-lane dispatches, yielding
+    (g0, g1, host_audio[g1-g0]) per group. ALL groups are dispatched before
+    the first fetch, so group g's device->host transfer (the ~40 MB/s
+    tunnel) rides under group g+1..n's compute — and streaming consumers
+    (synthesize_queue's on_audio) can emit group g's chunks while later
+    groups still run instead of waiting for the whole set."""
     B = codes.shape[0]
-    outs = []
+    bounds, devs = [], []
     for g0 in range(0, B, _VOCODE_MAX_LANES):
         g1 = min(B, g0 + _VOCODE_MAX_LANES)
         # pad the tail group to the full lane count so one program serves
@@ -156,12 +160,18 @@ def vocode_batched(vparams, cfg, codes, n_frames):
                 [codes[g0:g1], jnp.zeros((pad,) + codes.shape[1:], codes.dtype)])
             n = jnp.concatenate(
                 [n_frames[g0:g1], jnp.ones((pad,), n_frames.dtype)])
-            outs.append(_fetch_audio(_vocode_batch(
-                vparams, cfg, c, n, pcm16=_FETCH_PCM16))[: g1 - g0])
         else:
-            outs.append(_fetch_audio(_vocode_batch(
-                vparams, cfg, codes[g0:g1], n_frames[g0:g1],
-                pcm16=_FETCH_PCM16)))
+            c, n = codes[g0:g1], n_frames[g0:g1]
+        bounds.append((g0, g1))
+        devs.append(_vocode_batch(vparams, cfg, c, n, pcm16=_FETCH_PCM16))
+    for (g0, g1), dev in zip(bounds, devs):
+        yield g0, g1, _fetch_audio(dev)[: g1 - g0]
+
+
+def vocode_batched(vparams, cfg, codes, n_frames):
+    """Batch vocode (the serving path: B lanes -> ceil(B/16) dispatches,
+    fetch overlapped with later groups' compute; codes [B, Fb, 16])."""
+    outs = [a for _, _, a in vocode_batched_groups(vparams, cfg, codes, n_frames)]
     return np.concatenate(outs) if len(outs) > 1 else outs[0]
 
 
@@ -715,7 +725,8 @@ class Qwen3TTS:
                          chunk_frames: int = 32, refill_slots: int = 8,
                          on_audio=None, stream_history: int = 16,
                          stream_cadence: int = 32,
-                         max_audio_tokens_per_request=None):
+                         max_audio_tokens_per_request=None,
+                         admit_per_chunk: Optional[int] = None):
         """Continuous-batching synthesis of a request queue: finished lanes
         are refilled mid-flight (runtime/continuous.py), so a mix of
         unequal-length utterances keeps every lane busy instead of idling
@@ -742,7 +753,12 @@ class Qwen3TTS:
         max_audio_tokens_per_request, if given, is a per-request frame
         budget (list of ints, len(texts)) overriding params.max_audio_tokens
         — the knob a serving front end uses for per-request length limits
-        (the scheduler already carries per-lane budgets)."""
+        (the scheduler already carries per-lane budgets).
+
+        admit_per_chunk caps admissions per decode-chunk boundary
+        (ContinuousScheduler admit_per_boundary): with on_audio, pacing a
+        cold 64-lane burst spreads the first-window vocode sets across
+        boundaries so early requests hear audio sooner (TTFA staircase)."""
         rt = self.config.runtime
         tcfg, ccfg = self.config.talker, self.config.code_predictor
         vcfg = self.config.vocoder
@@ -776,7 +792,8 @@ class Qwen3TTS:
             max_frames=max_frames, temperature=params.temperature,
             top_k=params.top_k, top_p=params.top_p,
             repetition_penalty=params.repetition_penalty,
-            nothink=params.language_id < 0)
+            nothink=params.language_id < 0,
+            admit_per_boundary=admit_per_chunk)
         t0 = now_ms()
         rids = []
         budgets = max_audio_tokens_per_request
@@ -822,19 +839,26 @@ class Qwen3TTS:
 
             def _vocode_wins(wins, Fb):
                 """wins: (rid, window [hist+k,16], hist, k, fin); one
-                dispatch set over lanes padded to a multiple of 16."""
+                dispatch set over lanes padded to a multiple of 16.
+                on_audio fires PER 16-LANE GROUP as each group's audio
+                lands on the host (vocode_batched_groups dispatches every
+                group up front) — under a burst of first emissions the
+                earliest requests hear audio after one group's wall, not
+                the whole set's (r5 streaming-TTFA item)."""
                 L = -(-len(wins) // 16) * 16
                 bufs = np.zeros((L, Fb, ncb), np.int32)
                 nf = np.ones((L,), np.int32)
                 for g, (_, window, *_rest) in enumerate(wins):
                     bufs[g, : window.shape[0]] = window
                     nf[g] = max(window.shape[0], 1)
-                audio = vocode_batched(self.vocoder_params, vcfg,
-                                       jnp.asarray(bufs), jnp.asarray(nf))
-                for g, (rid, window, hist, k, fin) in enumerate(wins):
-                    chunk_audio = audio[g, hist * spf_: (hist + k) * spf_]
-                    streamed.setdefault(rid, []).append(chunk_audio)
-                    on_audio(rid_to_idx[rid], chunk_audio, fin)
+                for g0, g1, audio in vocode_batched_groups(
+                        self.vocoder_params, vcfg, jnp.asarray(bufs),
+                        jnp.asarray(nf)):
+                    for g in range(g0, min(g1, len(wins))):
+                        rid, window, hist, k, fin = wins[g]
+                        chunk_audio = audio[g - g0, hist * spf_: (hist + k) * spf_]
+                        streamed.setdefault(rid, []).append(chunk_audio)
+                        on_audio(rid_to_idx[rid], chunk_audio, fin)
 
             def on_chunk(events):
                 first_wins, steady_wins = [], []

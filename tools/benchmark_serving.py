@@ -36,6 +36,8 @@ def main() -> int:
     ap.add_argument("--long", type=int, default=2048, help="long-form frame count")
     ap.add_argument("--chunk", type=int, default=64, help="streaming vocoder chunk")
     ap.add_argument("--skip-long", action="store_true")
+    ap.add_argument("--skip-batch", action="store_true",
+                    help="long-form only (talker-kernel A/B sessions)")
     args = ap.parse_args()
 
     from qwen3tts_tpu.config import PipelineConfig
@@ -94,47 +96,48 @@ def main() -> int:
     # allow_eos=False: with synthetic weights EOS is a ~1/2049 random draw
     # per frame per lane; masking it makes the aggregate metric stable
     # (every lane emits max_frames).
-    g = run_batched(args.frames)
-    _ = np.asarray(g.codes)  # compile (asarray: block_until_ready alone has
-    # been observed returning early over the remote-execution tunnel)
+    g = None if args.skip_batch else run_batched(args.frames)
+    _ = None if g is None else np.asarray(g.codes)  # compile (asarray:
+    # block_until_ready alone has been observed returning early over the
+    # remote-execution tunnel)
     t = float("inf")
-    for rep in range(3):
-        t0 = time.perf_counter()
-        g = run_batched(args.frames)
-        _ = np.asarray(g.codes)
-        t = min(t, time.perf_counter() - t0)
-    total_frames = int(np.asarray(g.n_frames).sum())
-    print(json.dumps({
-        "scenario": "batched", "batch": B, "frames_total": total_frames,
-        "frames_per_s": round(total_frames / t, 1),
-        "audio_rtf": round(total_frames * spf / vcfg.sample_rate / t, 2),
-        "wall_s": round(t, 2),
-    }))
+    if not args.skip_batch:
+        for rep in range(3):
+            t0 = time.perf_counter()
+            g = run_batched(args.frames)
+            _ = np.asarray(g.codes)
+            t = min(t, time.perf_counter() - t0)
+        total_frames = int(np.asarray(g.n_frames).sum())
+        print(json.dumps({
+            "scenario": "batched", "batch": B, "frames_total": total_frames,
+            "frames_per_s": round(total_frames / t, 1),
+            "audio_rtf": round(total_frames * spf / vcfg.sample_rate / t, 2),
+            "wall_s": round(t, 2),
+        }))
 
     # --- batched e2e incl. vocode: generation + vmapped vocoder dispatches
     # in 16-lane groups (r1 vocoded per-utterance serially: B x ~35 ms
     # dispatches) ---
     from qwen3tts_tpu.pipeline import vocode_batched
 
-    def run_vocode_batch(codes, n):
-        return vocode_batched(vp, vcfg, codes, n)
+    if not args.skip_batch:
+        def run_vocode_batch(codes, n):
+            return vocode_batched(vp, vcfg, codes, n)
 
-    a = run_vocode_batch(g.codes, jnp.maximum(g.n_frames, 1))  # compile
-    _ = np.asarray(a[:1, :8])
-    t_e2e = float("inf")
-    for rep in range(3):
-        t0 = time.perf_counter()
-        g = run_batched(args.frames)
-        a = run_vocode_batch(g.codes, jnp.maximum(g.n_frames, 1))
-        _ = np.asarray(a[:, -8:])
-        t_e2e = min(t_e2e, time.perf_counter() - t0)
-    total_frames = int(np.asarray(g.n_frames).sum())
-    print(json.dumps({
-        "scenario": "batched_e2e", "batch": B, "frames_total": total_frames,
-        "frames_per_s": round(total_frames / t_e2e, 1),
-        "audio_rtf": round(total_frames * spf / vcfg.sample_rate / t_e2e, 2),
-        "wall_s": round(t_e2e, 2),
-    }))
+        a = run_vocode_batch(g.codes, jnp.maximum(g.n_frames, 1))  # compile
+        t_e2e = float("inf")
+        for rep in range(3):
+            t0 = time.perf_counter()
+            g = run_batched(args.frames)
+            a = run_vocode_batch(g.codes, jnp.maximum(g.n_frames, 1))
+            t_e2e = min(t_e2e, time.perf_counter() - t0)
+        total_frames = int(np.asarray(g.n_frames).sum())
+        print(json.dumps({
+            "scenario": "batched_e2e", "batch": B, "frames_total": total_frames,
+            "frames_per_s": round(total_frames / t_e2e, 1),
+            "audio_rtf": round(total_frames * spf / vcfg.sample_rate / t_e2e, 2),
+            "wall_s": round(t_e2e, 2),
+        }))
 
     if not args.skip_long:
         # long-form: single stream, streaming vocoder with chunked decode

@@ -52,6 +52,9 @@ def main() -> int:
     ap.add_argument("--cadence", type=int, default=32,
                     help="stream_cadence frames per steady emission "
                          "(0 = vocode every decode chunk, pre-r4)")
+    ap.add_argument("--admit-per-chunk", type=int, default=0,
+                    help="admission pacing: max lanes admitted per decode "
+                         "boundary (0 = greedy admission)")
     ap.add_argument("--passes", type=int, default=2)
     args = ap.parse_args()
 
@@ -91,7 +94,8 @@ def main() -> int:
             texts, params, lanes=args.lanes, chunk_frames=args.chunk,
             on_audio=on_audio, stream_history=args.stream_history,
             stream_cadence=args.cadence,
-            max_audio_tokens_per_request=budgets)
+            max_audio_tokens_per_request=budgets,
+            admit_per_chunk=args.admit_per_chunk or None)
         wall = time.perf_counter() - t0
         assert all(r.success for r in results), \
             [r.error_msg for r in results if not r.success][:3]
@@ -102,7 +106,7 @@ def main() -> int:
         result = {
             "metric": "streaming_ttfa_under_load",
             "lanes": args.lanes, "requests": n, "chunk_frames": args.chunk,
-            "cadence": args.cadence,
+            "cadence": args.cadence, "admit_per_chunk": args.admit_per_chunk,
             "quant": quant, "wall_s": round(wall, 3),
             "useful_frames": useful,
             "aggregate_fps": round(useful / wall, 1),
