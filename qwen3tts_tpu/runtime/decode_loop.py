@@ -384,9 +384,13 @@ def _make_body(
         # QWEN3TTS_TALKER_KERNEL selects the single-stream kernel (read at
         # trace time, like every QWEN3TTS_* gate — A/B in separate
         # processes): "auto" = v1 (VMEM grid) within MAX_FUSED_CAPACITY,
-        # v2 (HBM grid) beyond; "pipelined" = v4 everywhere (single grid
-        # step, manual weight DMA — no capacity gate); "hbm" = v2
-        # everywhere; "v1" = same as auto.
+        # v4 (pipelined HBM) beyond; "pipelined" = v4 everywhere; "hbm" =
+        # v2 (HBM grid) everywhere; "v1" = same as auto. r5 silicon
+        # (chained x64): C=512 v1 1.16-1.21 / v4 1.24-1.26 / v2 1.29;
+        # C=1280/2304 v4 1.25-1.26 / v2 1.28-1.29 / XLA 1.77 ms/step.
+        # v1 at C<=1024 sits ON the chip's sustained-HBM roofline (440 MB
+        # int8 weights/step at ~380 GB/s = 1.15 ms), so scheduling cannot
+        # go lower — only fewer weight bytes can (the w4 tier).
         kernel_variant = _os.environ.get("QWEN3TTS_TALKER_KERNEL", "auto")
         if (use_fused_talker and kernel_variant in ("auto", "v1")
                 and not kv_is_q and s.kv.shape[3] <= MAX_FUSED_CAPACITY):
@@ -404,8 +408,8 @@ def _make_body(
                 talker_params.blocks, talker_cfg, step_embd, s.n_past, s.kv,
                 output_norm=talker_params.output_norm,
                 codec_head=talker_params.codec_head,
-                variant=("pipelined" if kernel_variant == "pipelined"
-                         else "grid"), **sample_kw)
+                variant=("grid" if kernel_variant == "hbm" else "pipelined"),
+                **sample_kw)
             hidden = hidden_f32.astype(dtype)
         else:
             hidden, head_out, kv = talker_model.talker_step(
