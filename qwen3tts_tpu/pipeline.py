@@ -722,7 +722,7 @@ class Qwen3TTS:
     def synthesize_queue(self, texts, params: SamplingConfig = SamplingConfig(),
                          speakers=None, *, lanes: Optional[int] = None,
                          kv_capacity: Optional[int] = None,
-                         chunk_frames: int = 32, refill_slots: int = 8,
+                         chunk_frames: int = 8, refill_slots: int = 8,
                          on_audio=None, stream_history: int = 16,
                          stream_cadence: int = 32,
                          max_audio_tokens_per_request=None,
@@ -785,6 +785,15 @@ class Qwen3TTS:
             kv_capacity = -(-(P + 2 * max_frames + chunk_frames
                               + rt.kv_margin) // 256) * 256
 
+        # streaming keeps the SERIAL harvest loop (unless the env overrides):
+        # with one chunk in flight, the first-window vocode sets queue
+        # behind the next decode chunk on the device — r5 silicon: TTFA p50
+        # 612 ms serial vs 787 ms overlapped at 64 lanes/128 requests, same
+        # aggregate f/s. Codes-only serving keeps the overlapped default
+        # (5208 vs 3836 f/s at K=8, 512 requests).
+        overlap = None
+        if on_audio is not None and "QWEN3TTS_OVERLAP_HARVEST" not in os.environ:
+            overlap = False
         sched = ContinuousScheduler(
             self.talker_params, self.cp_params, tcfg, ccfg, lanes=lanes,
             kv_capacity=kv_capacity, text_bucket=Tb,
@@ -793,7 +802,8 @@ class Qwen3TTS:
             top_k=params.top_k, top_p=params.top_p,
             repetition_penalty=params.repetition_penalty,
             nothink=params.language_id < 0,
-            admit_per_boundary=admit_per_chunk)
+            admit_per_boundary=admit_per_chunk,
+            overlap_harvest=overlap)
         t0 = now_ms()
         rids = []
         budgets = max_audio_tokens_per_request

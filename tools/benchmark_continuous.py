@@ -173,7 +173,7 @@ def main() -> int:
     ap.add_argument("--lanes", type=int, default=64)
     ap.add_argument("--requests", type=int, default=192)
     ap.add_argument("--capacity", type=int, default=1024)
-    ap.add_argument("--chunk", type=int, default=32)
+    ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--refill-slots", type=int, default=8)
     ap.add_argument("--max-frames", type=int, default=256)
     ap.add_argument("--text-bucket", type=int, default=32)

@@ -52,6 +52,10 @@ def main() -> int:
     ap.add_argument("--cadence", type=int, default=32,
                     help="stream_cadence frames per steady emission "
                          "(0 = vocode every decode chunk, pre-r4)")
+    ap.add_argument("--kv-capacity", type=int, default=0,
+                    help="override the scheduler KV capacity (lanes=128 "
+                         "needs C=512: the auto capacity's B x C bf16 cache "
+                         "would exceed HBM)")
     ap.add_argument("--admit-per-chunk", type=int, default=0,
                     help="admission pacing: max lanes admitted per decode "
                          "boundary (0 = greedy admission)")
@@ -92,6 +96,7 @@ def main() -> int:
 
         results = tts.synthesize_queue(
             texts, params, lanes=args.lanes, chunk_frames=args.chunk,
+            kv_capacity=args.kv_capacity or None,
             on_audio=on_audio, stream_history=args.stream_history,
             stream_cadence=args.cadence,
             max_audio_tokens_per_request=budgets,
