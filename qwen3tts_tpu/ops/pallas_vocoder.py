@@ -35,13 +35,20 @@ _TILE = 32768
 
 
 def fused_vocoder_enabled() -> bool:
-    """Default-OFF: measured on hardware (dispatch-amortized, ITERS=100),
-    this kernel is no faster than the matmul-form XLA convs — both are
-    VPU-bound on snake transcendentals + im2col movement, not HBM traffic
-    (XLA fuses the conv prologue/epilogue well; chip streams ~383 GB/s).
-    Kept as an opt-in experiment: QWEN3TTS_FUSED_VOC=1 enables on TPU,
-    =force enables on CPU too (interpret mode, for the padded-lane tests)."""
-    val = os.environ.get("QWEN3TTS_FUSED_VOC", "0")
+    """Default-ON on TPU as of r5 (QWEN3TTS_FUSED_VOC=0 reverts; =force
+    enables on CPU too — interpret mode, for the padded-lane tests).
+
+    History: the r2 measurement called this kernel neutral, but that
+    verdict only ever covered the WIDE blocks — fused_res_block_supported
+    rejects C % 128 != 0, and the r5 stage profile showed decoder blocks
+    2-3 (C=192 at T=163840, C=96 at T=491520) are 38 of the 56 ms vocoder
+    forward. With the padded-lane path those blocks route through the
+    kernel and the r5 A/B measured: full forward 41.0 vs 48.9 ms
+    (-14%); serving path (16-lane lax.map group, f32-pinned XLA baseline)
+    68.95 vs 75.84 ms/lane (-9%). The kernel's dots pin
+    precision=DEFAULT so the serving path's f32 pin cannot leak in
+    (Mosaic rejects fp32-precision bf16 matmuls)."""
+    val = os.environ.get("QWEN3TTS_FUSED_VOC", "1")
     if val in ("0", "false", "off", ""):
         return False
     if val == "force":
@@ -125,7 +132,12 @@ def _make_kernel(R, Hp, C, dilation, dtype):
         s1 = _snake(win, a1_ref[0], be1_ref[0]).astype(dtype)
         # im2col in VMEM: 7 shifted stores, then ONE K=7C dot — 7 separate
         # K=C dots cost 7x the MXU passes at poor pipeline depth (measured
-        # ~6x off peak at C=128)
+        # ~6x off peak at C=128).
+        # precision=DEFAULT explicitly: the batched serving path wraps
+        # vocoding in jax.default_matmul_precision("float32"), and that
+        # ambient pin leaks into pallas dots as contract_precision<fp32>
+        # on bf16 vectors, which Mosaic rejects ("Bad lhs type"); the
+        # kernel already accumulates in f32 via preferred_element_type.
         base = Hp - 6 * dilation
         for k in range(K):
             off = base + k * dilation
@@ -133,12 +145,14 @@ def _make_kernel(R, Hp, C, dilation, dtype):
         y = jax.lax.dot_general(
             im_ref[...], w1_ref[...],
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dtype) + b1_ref[0]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT).astype(dtype) + b1_ref[0]
 
         s2 = _snake(y, a2_ref[0], be2_ref[0]).astype(dtype)
         z = jax.lax.dot_general(
             s2, w2_ref[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dtype) + b2_ref[0]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT).astype(dtype) + b2_ref[0]
         out_ref[...] = win[Hp:Hp + R] + z
 
     return kernel
